@@ -1,0 +1,100 @@
+"""Native (C++/FFmpeg) video decoder bindings.
+
+Built by `make -C geotrax_tpu/io/native` into libgeotrax_decode.so and loaded
+via ctypes. Falls back cleanly (callers check for None) when the library has
+not been built or FFmpeg dev libraries are unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from pathlib import Path
+from typing import Iterator, Optional
+
+import numpy as np
+
+_LIB_PATH = Path(__file__).parent / "libgeotrax_decode.so"
+_lib = None
+
+
+def _try_build() -> None:
+    """Best-effort one-shot build of the shared library from source."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", str(_LIB_PATH.parent)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:  # noqa: BLE001 — missing toolchain/headers → fall back to cv2
+        pass
+
+
+def load_library():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        _try_build()
+    if not _LIB_PATH.exists():
+        raise FileNotFoundError(str(_LIB_PATH))
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.gtx_open.restype = ctypes.c_void_p
+    lib.gtx_open.argtypes = [ctypes.c_char_p]
+    lib.gtx_width.restype = ctypes.c_int
+    lib.gtx_width.argtypes = [ctypes.c_void_p]
+    lib.gtx_height.restype = ctypes.c_int
+    lib.gtx_height.argtypes = [ctypes.c_void_p]
+    lib.gtx_fps.restype = ctypes.c_double
+    lib.gtx_fps.argtypes = [ctypes.c_void_p]
+    lib.gtx_frame_count.restype = ctypes.c_long
+    lib.gtx_frame_count.argtypes = [ctypes.c_void_p]
+    lib.gtx_read_frame.restype = ctypes.c_int
+    lib.gtx_read_frame.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.gtx_close.restype = None
+    lib.gtx_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def native_probe(path: str):
+    from geotrax_tpu.io.video import VideoInfo
+
+    try:
+        lib = load_library()
+    except (OSError, FileNotFoundError):
+        return None
+    handle = lib.gtx_open(path.encode())
+    if not handle:
+        return None
+    try:
+        return VideoInfo(
+            width=lib.gtx_width(handle),
+            height=lib.gtx_height(handle),
+            fps=lib.gtx_fps(handle),
+            frame_count=int(lib.gtx_frame_count(handle)),
+        )
+    finally:
+        lib.gtx_close(handle)
+
+
+def native_frames(path: str) -> Iterator[tuple[int, np.ndarray]]:
+    """Yield (index, RGB frame) sequentially from the native decoder."""
+    lib = load_library()
+    handle = lib.gtx_open(path.encode())
+    if not handle:
+        raise OSError(f"native decoder failed to open {path}")
+    try:
+        h, w = lib.gtx_height(handle), lib.gtx_width(handle)
+        idx = 0
+        while True:
+            frame = np.empty((h, w, 3), dtype=np.uint8)
+            rc = lib.gtx_read_frame(handle, frame.ctypes.data_as(ctypes.c_void_p))
+            if rc != 0:
+                break
+            yield idx, frame
+            idx += 1
+    finally:
+        lib.gtx_close(handle)

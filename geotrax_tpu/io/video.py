@@ -1,0 +1,244 @@
+"""Video decode/encode with prefetch.
+
+Replaces the reference's cv2.VideoCapture/VideoWriter usage
+(reference extract.py:248, visualize.py:609-625, file_utils.py:183-189) with a
+backend-pluggable reader:
+
+- 'native': C++ libavformat/libavcodec decoder (geotrax_tpu/io/native),
+  loaded via ctypes; deterministic frame indexing, BGR24 output.
+- 'cv2': OpenCV fallback (always available in dev environments).
+- SyntheticVideoReader: procedural frame generator used by tests so the whole
+  extract pipeline runs hermetically without codec work (closing the
+  reference's missing-fake-decoder test gap, SURVEY.md §4).
+
+Frames are numpy uint8 HxWx3 in **RGB** order (JAX/device friendly); the cv2
+boundary converts. A background prefetch thread keeps a small ring of decoded
+frames ahead of the consumer.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+@dataclass
+class VideoInfo:
+    width: int
+    height: int
+    fps: float
+    frame_count: int
+
+
+# ---------------------------------------------------------------------------
+# Backends
+# ---------------------------------------------------------------------------
+
+def _native_lib():
+    """Load the native decoder shared library if built, else None."""
+    from geotrax_tpu.io.native import load_library
+
+    try:
+        return load_library()
+    except (OSError, FileNotFoundError):
+        return None
+
+
+def get_backend(requested: Optional[str] = None) -> str:
+    requested = requested or os.environ.get("GEOTRAX_VIDEO_BACKEND")
+    if requested in ("native", "cv2"):
+        return requested
+    return "native" if _native_lib() is not None else "cv2"
+
+
+def probe_video(path: Path | str, backend: Optional[str] = None) -> VideoInfo:
+    path = str(path)
+    if get_backend(backend) == "native":
+        from geotrax_tpu.io.native import native_probe
+
+        info = native_probe(path)
+        if info is not None:
+            return info
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    try:
+        if not cap.isOpened():
+            raise FileNotFoundError(f"Cannot open video: {path}")
+        return VideoInfo(
+            width=int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+            height=int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+            fps=float(cap.get(cv2.CAP_PROP_FPS)),
+            frame_count=int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+        )
+    finally:
+        cap.release()
+
+
+class VideoReader:
+    """Sequential frame reader with deterministic indexing and prefetch.
+
+    Iterates (frame_index, frame_rgb) from ``start`` (inclusive) to ``stop``
+    (exclusive; None = end of stream). Skipped head frames are decoded and
+    discarded rather than seeked, so frame indices are exact regardless of
+    keyframe placement (the reference warns FFmpeg seeking varies,
+    georeference.py:72-74).
+    """
+
+    def __init__(
+        self,
+        path: Path | str,
+        start: int = 0,
+        stop: Optional[int] = None,
+        prefetch: int = 4,
+        backend: Optional[str] = None,
+    ):
+        self.path = str(path)
+        self.start = int(start)
+        self.stop = stop
+        self.backend = get_backend(backend)
+        self.info = probe_video(self.path, self.backend)
+        self._prefetch = max(1, int(prefetch))
+        self._queue: queue.Queue = queue.Queue(maxsize=self._prefetch)
+        self._stop_event = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._started = False
+
+    # -- producer -----------------------------------------------------------
+    def _produce(self):
+        try:
+            if self.backend == "native":
+                from geotrax_tpu.io.native import native_frames
+
+                frame_iter = native_frames(self.path)
+            else:
+                frame_iter = self._cv2_frames()
+            for idx, frame in frame_iter:
+                if self._stop_event.is_set():
+                    break
+                if idx < self.start:
+                    continue
+                if self.stop is not None and idx >= self.stop:
+                    break
+                self._queue.put((idx, frame))
+        finally:
+            self._queue.put(None)  # sentinel
+
+    def _cv2_frames(self):
+        import cv2
+
+        cap = cv2.VideoCapture(self.path)
+        try:
+            idx = 0
+            while True:
+                ok, bgr = cap.read()
+                if not ok:
+                    break
+                yield idx, np.ascontiguousarray(bgr[..., ::-1])
+                idx += 1
+        finally:
+            cap.release()
+
+    # -- consumer -----------------------------------------------------------
+    def __iter__(self) -> Iterator[tuple[int, np.ndarray]]:
+        if not self._started:
+            self._thread = threading.Thread(target=self._produce, daemon=True)
+            self._thread.start()
+            self._started = True
+        while True:
+            item = self._queue.get()
+            if item is None:
+                break
+            yield item
+
+    def read_frame(self, index: int) -> np.ndarray:
+        """Decode a single frame by exact index (sequential walk; used for
+        reference/master frames, not the hot loop)."""
+        for idx, frame in VideoReader(self.path, start=index, stop=index + 1, backend=self.backend):
+            return frame
+        raise IndexError(f"Frame {index} not found in {self.path}")
+
+    def close(self):
+        self._stop_event.set()
+        if self._thread is not None:
+            # Drain so the producer can reach the sentinel and exit.
+            try:
+                while True:
+                    self._queue.get_nowait()
+            except queue.Empty:
+                pass
+
+
+class SyntheticVideoReader:
+    """Procedural test double: deterministic moving-rectangle frames.
+
+    Yields (index, frame) like VideoReader; ``boxes_per_frame`` describes the
+    ground-truth rectangles drawn so tests can verify detection/tracking
+    without a real model or codec.
+    """
+
+    def __init__(self, width=256, height=192, n_frames=30, fps=30.0, boxes=None, seed=0):
+        self.info = VideoInfo(width, height, fps, n_frames)
+        self.n_frames = n_frames
+        rng = np.random.default_rng(seed)
+        if boxes is None:
+            # two boxes moving on straight lines
+            boxes = [
+                {"xy0": (30.0, 40.0), "v": (2.0, 0.5), "wh": (24, 14), "color": (255, 40, 40)},
+                {"xy0": (180.0, 120.0), "v": (-1.5, -0.8), "wh": (18, 10), "color": (40, 255, 40)},
+            ]
+        self.boxes = boxes
+        self._bg = rng.integers(0, 60, size=(self.info.height, self.info.width, 3), dtype=np.uint8)
+
+    def boxes_at(self, idx: int):
+        out = []
+        for b in self.boxes:
+            cx = b["xy0"][0] + b["v"][0] * idx
+            cy = b["xy0"][1] + b["v"][1] * idx
+            out.append((cx, cy, b["wh"][0], b["wh"][1]))
+        return out
+
+    def __iter__(self):
+        for idx in range(self.n_frames):
+            frame = self._bg.copy()
+            for b, (cx, cy, w, h) in zip(self.boxes, self.boxes_at(idx)):
+                x0, y0 = int(cx - w / 2), int(cy - h / 2)
+                x1, y1 = int(cx + w / 2), int(cy + h / 2)
+                x0c, y0c = max(x0, 0), max(y0, 0)
+                x1c, y1c = min(x1, self.info.width), min(y1, self.info.height)
+                if x1c > x0c and y1c > y0c:
+                    frame[y0c:y1c, x0c:x1c] = b["color"]
+            yield idx, frame
+
+    def close(self):
+        pass
+
+
+class VideoWriter:
+    """Annotated-video writer; cv2 backend (native encoder is a follow-up)."""
+
+    def __init__(self, path: Path | str, fps: float, width: int, height: int, fourcc: Optional[str] = None):
+        import cv2
+
+        from geotrax_tpu.utils.file_utils import determine_suffix_and_fourcc
+
+        if fourcc is None:
+            _, fourcc = determine_suffix_and_fourcc()
+        self.path = str(path)
+        self._writer = cv2.VideoWriter(
+            self.path, cv2.VideoWriter_fourcc(*fourcc), fps, (int(width), int(height))
+        )
+        if not self._writer.isOpened():
+            raise OSError(f"Cannot open video writer: {self.path}")
+
+    def write(self, frame_rgb: np.ndarray):
+        self._writer.write(np.ascontiguousarray(frame_rgb[..., ::-1]))
+
+    def close(self):
+        self._writer.release()
