@@ -14,7 +14,9 @@ from typing import Iterator, Optional
 import numpy as np
 
 _LIB_PATH = Path(__file__).parent / "libgeotrax_decode.so"
+_LAP_PATH = Path(__file__).parent / "libgeotrax_lap.so"
 _lib = None
+_lap_lib = None
 
 
 def _try_build() -> None:
@@ -57,6 +59,31 @@ def load_library():
     lib.gtx_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
+
+
+def lapjv_native(cost) -> "np.ndarray | None":
+    """Exact LAPJV via the native solver; None when the library is missing."""
+    global _lap_lib
+    if _lap_lib is None:
+        if not _LAP_PATH.exists():
+            _try_build()
+        if not _LAP_PATH.exists():
+            return None
+        lib = ctypes.CDLL(str(_LAP_PATH))
+        lib.gtx_lapjv.restype = ctypes.c_int
+        lib.gtx_lapjv.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p
+        ]
+        _lap_lib = lib
+    cost = np.ascontiguousarray(cost, dtype=np.float64)
+    n, m = cost.shape
+    out = np.empty(n, dtype=np.int64)
+    rc = _lap_lib.gtx_lapjv(
+        cost.ctypes.data_as(ctypes.c_void_p), n, m, out.ctypes.data_as(ctypes.c_void_p)
+    )
+    if rc != 0:
+        return None
+    return out
 
 
 def native_probe(path: str):

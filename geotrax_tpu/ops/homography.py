@@ -1,0 +1,117 @@
+"""Projective geometry: point transforms and homography estimation (JAX).
+
+Replaces cv2.perspectiveTransform and the deterministic parts of
+cv2.findHomography (SURVEY.md §2.3 N10/N11): applying a 3x3 homography is a
+matmul + divide; fitting one from correspondences is a normalized DLT solved
+with an eigendecomposition (4-point exact or N-point least squares). The
+robust (RANSAC/MAGSAC) wrapper lives in geotrax_tpu/ops/ransac.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def apply_homography(h: jnp.ndarray, points: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Transform (..., N, 2) points by (..., 3, 3) homographies.
+
+    Full-f32 einsum: TPU matmuls default to bf16, which is catastrophic for
+    the normalize/denormalize cancellations in this geometry path.
+    """
+    ones = jnp.ones(points.shape[:-1] + (1,), dtype=points.dtype)
+    homog = jnp.concatenate([points, ones], axis=-1)
+    with jax.default_matmul_precision("highest"):
+        mapped = jnp.einsum("...ij,...nj->...ni", h, homog)
+    return mapped[..., :2] / (mapped[..., 2:3] + eps)
+
+
+def invert_homography(h: jnp.ndarray) -> jnp.ndarray:
+    return jnp.linalg.inv(h)
+
+
+def compose(h_outer: jnp.ndarray, h_inner: jnp.ndarray) -> jnp.ndarray:
+    """Composition: apply h_inner first, then h_outer."""
+    return h_outer @ h_inner
+
+
+def normalize_h(h: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    return h / (h[..., 2:3, 2:3] + eps)
+
+
+def _normalization_transform(points: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Hartley normalization: translate centroid to origin, scale mean
+    distance to sqrt(2). points: (..., N, 2) -> (..., 3, 3)."""
+    centroid = points.mean(axis=-2, keepdims=True)
+    dist = jnp.linalg.norm(points - centroid, axis=-1).mean(axis=-1)
+    scale = jnp.sqrt(2.0) / (dist + eps)
+    t = jnp.zeros(points.shape[:-2] + (3, 3), dtype=points.dtype)
+    t = t.at[..., 0, 0].set(scale)
+    t = t.at[..., 1, 1].set(scale)
+    t = t.at[..., 0, 2].set(-scale * centroid[..., 0, 0])
+    t = t.at[..., 1, 2].set(-scale * centroid[..., 0, 1])
+    t = t.at[..., 2, 2].set(1.0)
+    return t
+
+
+def fit_homography(src: jnp.ndarray, dst: jnp.ndarray,
+                   weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Normalized DLT homography fit from (..., N, 2) correspondences, N >= 4.
+
+    Solves A h = 0 via the smallest right singular vector of A (batched,
+    vmappable — static shapes for any N, which is what the
+    parallel-hypothesis RANSAC needs). Optional per-point weights.
+    Returns (..., 3, 3) normalized so h[2,2] = 1.
+    """
+    t_src = _normalization_transform(src)
+    t_dst = _normalization_transform(dst)
+    s = apply_homography(t_src, src)
+    d = apply_homography(t_dst, dst)
+
+    x, y = s[..., 0], s[..., 1]
+    u, v = d[..., 0], d[..., 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    # Two rows per correspondence of the standard DLT system.
+    row1 = jnp.stack([-x, -y, -one, zero, zero, zero, u * x, u * y, u], axis=-1)
+    row2 = jnp.stack([zero, zero, zero, -x, -y, -one, v * x, v * y, v], axis=-1)
+    a = jnp.concatenate([row1, row2], axis=-2)  # (..., 2N, 9)
+    if weights is not None:
+        w = jnp.concatenate([weights, weights], axis=-1)[..., None]
+        a = a * jnp.sqrt(jnp.maximum(w, 0.0))
+
+    # Smallest right singular vector of A (SVD avoids squaring the condition
+    # number the way an eigh of AᵀA would — matters in f32). full_matrices is
+    # required: with the minimal 4-point sample A is 8x9 and the nullspace
+    # vector is the 9th right singular vector, absent from the thin V.
+    with jax.default_matmul_precision("highest"):
+        _, _, vt = jnp.linalg.svd(a, full_matrices=True)
+        h_norm = vt[..., -1, :].reshape(src.shape[:-2] + (3, 3))
+        h = jnp.linalg.inv(t_dst) @ h_norm @ t_src
+    return normalize_h(h)
+
+
+def fit_affine(src: jnp.ndarray, dst: jnp.ndarray,
+               weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Least-squares affine fit from (..., N, 2) correspondences, N >= 3.
+    Returned as a 3x3 homography with last row [0, 0, 1]."""
+    ones = jnp.ones(src.shape[:-1] + (1,), dtype=src.dtype)
+    a = jnp.concatenate([src, ones], axis=-1)  # (..., N, 3)
+    with jax.default_matmul_precision("highest"):
+        if weights is not None:
+            w = jnp.maximum(weights, 0.0)[..., None]
+            ata = jnp.einsum("...ni,...nj->...ij", a * w, a)
+            atb = jnp.einsum("...ni,...nj->...ij", a * w, dst)
+        else:
+            ata = jnp.einsum("...ni,...nj->...ij", a, a)
+            atb = jnp.einsum("...ni,...nj->...ij", a, dst)
+        sol = jnp.linalg.solve(ata + 1e-9 * jnp.eye(3), atb)  # (..., 3, 2)
+    h = jnp.zeros(src.shape[:-2] + (3, 3), dtype=src.dtype)
+    h = h.at[..., :2, :].set(sol.swapaxes(-1, -2))
+    h = h.at[..., 2, 2].set(1.0)
+    return h
+
+
+def reprojection_error(h: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Per-point Euclidean reprojection error (..., N)."""
+    return jnp.linalg.norm(apply_homography(h, src) - dst, axis=-1)

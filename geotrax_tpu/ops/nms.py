@@ -1,0 +1,108 @@
+"""Fixed-shape on-device NMS.
+
+Replaces torchvision's batched NMS inside ultralytics postprocess
+(SURVEY.md §2.3 N4). Static shapes throughout: the caller supplies a fixed
+candidate count and ``max_det`` output slots; empty slots carry score -1 and
+box zeros. ``agnostic=False`` reproduces the torchvision trick of offsetting
+boxes per class so suppression only happens within a class
+(the pipeline default is class-agnostic, cfg ultralytics.agnostic_nms).
+
+Algorithm: sort by score, then a sequential greedy pass expressed as a scan
+over the sorted candidates against the full IoU matrix — O(N²) elementwise
+work that XLA fuses well; N is the post-threshold candidate count (<= a few
+thousand at 1920²).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from geotrax_tpu.ops.boxes import iou_matrix
+
+
+@partial(jax.jit, static_argnames=("max_det",))
+def nms(
+    boxes_xyxy: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    max_det: int,
+    class_ids: jnp.ndarray | None = None,
+    agnostic: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS over (N,4) boxes and (N,) scores.
+
+    Returns (keep_indices[max_det], valid_mask[max_det]); invalid slots hold
+    index 0 with valid=False. Scores <= 0 are treated as absent candidates.
+    """
+    n = boxes_xyxy.shape[0]
+    order = jnp.argsort(-scores)
+    boxes_sorted = boxes_xyxy[order]
+    scores_sorted = scores[order]
+
+    offset_boxes = boxes_sorted
+    if not agnostic and class_ids is not None:
+        # Per-class coordinate offset: boxes of different classes never overlap.
+        span = (boxes_sorted.max() - boxes_sorted.min()) + 1.0
+        offset_boxes = boxes_sorted + (class_ids[order].astype(boxes_sorted.dtype) * span)[:, None]
+
+    iou = iou_matrix(offset_boxes, offset_boxes)
+    positions = jnp.arange(n)
+
+    def body(suppressed, i):
+        # Greedy pass in score order: a kept box suppresses every later box
+        # it overlaps beyond the threshold.
+        keep_i = jnp.logical_and(~suppressed[i], scores_sorted[i] > 0.0)
+        newly = jnp.logical_and(keep_i, iou[i] > iou_threshold)
+        suppressed = jnp.logical_or(suppressed, jnp.where(positions > i, newly, False))
+        return suppressed, keep_i
+
+    suppressed0 = jnp.zeros((n,), dtype=bool)
+    _, kept = jax.lax.scan(body, suppressed0, positions)
+
+    # Compact kept indices into max_det slots, preserving score order.
+    kept_rank = jnp.cumsum(kept) - 1
+    sort_key = jnp.where(kept, kept_rank, n + positions)
+    compact = jnp.argsort(sort_key)[:max_det]
+    valid = jnp.arange(max_det) < jnp.sum(kept)
+    keep_indices = jnp.where(valid, order[compact], 0)
+    return keep_indices, valid
+
+
+@partial(jax.jit, static_argnames=("max_det", "agnostic"))
+def postprocess_detections(
+    boxes_xywh: jnp.ndarray,
+    class_scores: jnp.ndarray,
+    conf_threshold: float,
+    iou_threshold: float,
+    max_det: int,
+    class_mask: jnp.ndarray | None = None,
+    agnostic: bool = True,
+) -> dict:
+    """Detector-head output -> final detections (ultralytics-compatible).
+
+    boxes_xywh: (N,4); class_scores: (N,C) post-sigmoid. Per anchor the best
+    class is taken; anchors below ``conf_threshold`` or outside ``class_mask``
+    are dropped; NMS keeps at most ``max_det``. Returns dict of fixed-shape
+    arrays: boxes_xywh (max_det,4), scores, classes, valid.
+    """
+    from geotrax_tpu.ops.boxes import xywh_to_xyxy
+
+    if class_mask is not None:
+        class_scores = jnp.where(class_mask[None, :], class_scores, 0.0)
+    scores = class_scores.max(axis=-1)
+    classes = class_scores.argmax(axis=-1)
+    scores = jnp.where(scores >= conf_threshold, scores, 0.0)
+
+    keep, valid = nms(
+        xywh_to_xyxy(boxes_xywh), scores, iou_threshold, max_det,
+        class_ids=classes, agnostic=agnostic,
+    )
+    return {
+        "boxes_xywh": jnp.where(valid[:, None], boxes_xywh[keep], 0.0),
+        "scores": jnp.where(valid, scores[keep], 0.0),
+        "classes": jnp.where(valid, classes[keep], -1),
+        "valid": valid,
+    }

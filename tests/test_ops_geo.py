@@ -1,0 +1,138 @@
+"""Geodesy + homography + RANSAC numerics, validated against the golden
+reference outputs where available."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from geotrax_tpu.ops.homography import (
+    apply_homography,
+    fit_affine,
+    fit_homography,
+    reprojection_error,
+)
+from geotrax_tpu.ops.ransac import ransac_fit
+from geotrax_tpu.ops.tmerc import geo2local, local2geo, resolve_crs
+
+
+# ---------------------------------------------------------------- tmerc
+def test_epsg5186_known_point():
+    # Songdo-area point from the reference golden CSV (7-decimal lat/lon).
+    x, y = geo2local(np.array([37.3893296]), np.array([126.6635021]), xp=np)
+    assert abs(x[0] - 170201.12) < 0.03
+    assert abs(y[0] - 532274.39) < 0.03
+
+
+def test_roundtrip_precision():
+    rng = np.random.default_rng(0)
+    lat = rng.uniform(33.0, 39.0, 100)
+    lon = rng.uniform(125.0, 129.0, 100)
+    x, y = geo2local(lat, lon, xp=np)
+    lat2, lon2 = local2geo(x, y, xp=np)
+    np.testing.assert_allclose(lat2, lat, atol=1e-10)
+    np.testing.assert_allclose(lon2, lon, atol=1e-10)
+
+
+def test_golden_csv_full_reprojection(golden_dir):
+    """Every (lat, lon) -> (Local_X, Local_Y) row of the reference golden CSV
+    must reproduce within 3 cm (the CSV's own rounding is ~1.1 cm)."""
+    import pandas as pd
+
+    df = pd.read_csv(golden_dir / "results-full" / "U_video_cut.csv")
+    x, y = geo2local(df["Latitude"].to_numpy(), df["Longitude"].to_numpy(), xp=np)
+    np.testing.assert_allclose(x, df["Local_X"].to_numpy(), atol=0.03)
+    np.testing.assert_allclose(y, df["Local_Y"].to_numpy(), atol=0.03)
+
+
+def test_utm_zone_52n():
+    # Songdo is in UTM zone 52N; sanity-check the UTM registry path.
+    params = resolve_crs("epsg:32652")
+    assert params.lon0_deg == 129.0 and params.k0 == 0.9996
+    x, y = geo2local(np.array([37.0]), np.array([129.0]), target_crs="epsg:32652", xp=np)
+    assert abs(x[0] - 500000.0) < 1e-3  # on the central meridian
+
+
+def test_unknown_crs_raises():
+    with pytest.raises(ValueError):
+        resolve_crs("epsg:99999")
+    with pytest.raises(ValueError):
+        resolve_crs("not-a-crs")
+
+
+# ---------------------------------------------------------------- homography
+def _random_h(rng):
+    h = np.eye(3)
+    h[:2, :2] += rng.normal(scale=0.1, size=(2, 2))
+    h[:2, 2] = rng.normal(scale=20.0, size=2)
+    h[2, :2] = rng.normal(scale=1e-4, size=2)
+    return h
+
+
+def test_apply_homography_identity_and_translation():
+    pts = jnp.array([[1.0, 2.0], [3.0, 4.0]])
+    np.testing.assert_allclose(apply_homography(jnp.eye(3), pts), pts, atol=1e-6)
+    t = jnp.eye(3).at[0, 2].set(5.0).at[1, 2].set(-3.0)
+    np.testing.assert_allclose(apply_homography(t, pts), pts + jnp.array([5.0, -3.0]), atol=1e-5)
+
+
+@pytest.mark.parametrize("n_points", [4, 8, 50])
+def test_fit_homography_exact_recovery(n_points):
+    rng = np.random.default_rng(4)
+    h_true = _random_h(rng)
+    src = rng.uniform(0, 1000, (n_points, 2))
+    dst = np.asarray(apply_homography(jnp.asarray(h_true), jnp.asarray(src)))
+    h_fit = np.asarray(fit_homography(jnp.asarray(src), jnp.asarray(dst)))
+    err = np.asarray(reprojection_error(jnp.asarray(h_fit), jnp.asarray(src), jnp.asarray(dst)))
+    assert err.max() < 0.1
+
+
+def test_fit_affine_exact_recovery():
+    rng = np.random.default_rng(5)
+    a_true = np.eye(3)
+    a_true[:2, :2] = rng.normal(scale=1.0, size=(2, 2)) + np.eye(2)
+    a_true[:2, 2] = rng.normal(scale=50.0, size=2)
+    src = rng.uniform(0, 500, (20, 2))
+    dst = src @ a_true[:2, :2].T + a_true[:2, 2]
+    a_fit = np.asarray(fit_affine(jnp.asarray(src), jnp.asarray(dst)))
+    np.testing.assert_allclose(a_fit[:2], a_true[:2], atol=1e-2)
+    np.testing.assert_allclose(a_fit[2], [0, 0, 1], atol=1e-6)
+
+
+# ---------------------------------------------------------------- RANSAC
+@pytest.mark.parametrize("outlier_frac", [0.0, 0.3, 0.6])
+def test_ransac_recovers_under_outliers(outlier_frac):
+    rng = np.random.default_rng(6)
+    h_true = _random_h(rng)
+    n = 256
+    src = rng.uniform(0, 2000, (n, 2)).astype(np.float32)
+    dst = np.array(apply_homography(jnp.asarray(h_true), jnp.asarray(src)))
+    dst += rng.normal(scale=0.3, size=dst.shape)  # inlier noise
+    n_out = int(n * outlier_frac)
+    dst[:n_out] = rng.uniform(0, 2000, (n_out, 2))  # gross outliers
+
+    result = ransac_fit(
+        jnp.asarray(src), jnp.asarray(dst), jnp.ones(n, bool), threshold=3.0,
+        key=jax.random.PRNGKey(0), num_hypotheses=512,
+    )
+    inlier_mask = np.zeros(n, bool)
+    inlier_mask[n_out:] = True
+    # recovered model must explain (almost) all true inliers
+    err = np.asarray(reprojection_error(result.h_matrix, jnp.asarray(src), jnp.asarray(dst)))
+    assert (err[inlier_mask] < 3.0).mean() > 0.97
+    assert int(result.num_inliers) >= (n - n_out) * 0.95
+
+
+def test_ransac_affine_mode():
+    rng = np.random.default_rng(7)
+    a_true = np.array([[1.1, 0.05, 30.0], [-0.04, 0.95, -12.0], [0, 0, 1.0]])
+    src = rng.uniform(0, 1000, (128, 2)).astype(np.float32)
+    dst = src @ a_true[:2, :2].T + a_true[:2, 2]
+    dst[:30] = rng.uniform(0, 1000, (30, 2))
+    result = ransac_fit(
+        jnp.asarray(src), jnp.asarray(dst.astype(np.float32)), jnp.ones(128, bool),
+        threshold=2.0, key=jax.random.PRNGKey(1), num_hypotheses=256,
+        transformation="affine",
+    )
+    assert int(result.num_inliers) >= 95
