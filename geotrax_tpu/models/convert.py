@@ -51,6 +51,133 @@ def torch_state_dict(model_path: Path) -> dict:
     return {k: v.detach().cpu().numpy() for k, v in state.items()}
 
 
+_BN_EPS = 1e-3  # ultralytics BatchNorm2d(eps=0.001)
+
+
+def _fold_conv_bn(sd: dict, prefix: str) -> dict:
+    """torch Conv2d+BatchNorm2d -> {'w': HWIO, 'b': (C,)} with BN folded."""
+    w = sd[f"{prefix}.conv.weight"]  # (O, I, kh, kw)
+    gamma = sd[f"{prefix}.bn.weight"]
+    beta = sd[f"{prefix}.bn.bias"]
+    mean = sd[f"{prefix}.bn.running_mean"]
+    var = sd[f"{prefix}.bn.running_var"]
+    scale = gamma / np.sqrt(var + _BN_EPS)
+    w_folded = w * scale[:, None, None, None]
+    b = beta - mean * scale
+    return {"w": np.transpose(w_folded, (2, 3, 1, 0)).astype(np.float32),
+            "b": b.astype(np.float32)}
+
+
+def _plain_conv(sd: dict, prefix: str) -> dict:
+    """torch Conv2d with bias (detect-head final 1x1) -> {'w','b'}."""
+    w = sd[f"{prefix}.weight"]
+    b = sd.get(f"{prefix}.bias", np.zeros(w.shape[0], np.float32))
+    return {"w": np.transpose(w, (2, 3, 1, 0)).astype(np.float32),
+            "b": np.asarray(b, np.float32)}
+
+
+def _c2f_params(sd: dict, prefix: str) -> dict:
+    n = 0
+    while f"{prefix}.m.{n}.cv1.conv.weight" in sd:
+        n += 1
+    return {
+        "cv1": _fold_conv_bn(sd, f"{prefix}.cv1"),
+        "cv2": _fold_conv_bn(sd, f"{prefix}.cv2"),
+        "m": [
+            {"cv1": _fold_conv_bn(sd, f"{prefix}.m.{i}.cv1"),
+             "cv2": _fold_conv_bn(sd, f"{prefix}.m.{i}.cv2")}
+            for i in range(n)
+        ],
+    }
+
+
+def infer_spec(sd: dict):
+    """Deduce the YOLOv8 variant/nc from a state dict's channel sizes."""
+    from geotrax_tpu.models.yolov8 import ModelSpec, SCALES
+
+    stem_out = sd["model.0.conv.weight"].shape[0]
+    nc = sd["model.22.cv3.0.2.weight"].shape[0]
+    reg_max = sd["model.22.cv2.0.2.weight"].shape[0] // 4
+    for variant, (_, w, _) in SCALES.items():
+        if int(np.ceil(64 * w / 8) * 8) == stem_out:
+            return ModelSpec(variant=variant, nc=int(nc), reg_max=int(reg_max))
+    raise ValueError(f"Cannot infer YOLOv8 variant from stem width {stem_out}")
+
+
+def convert_ultralytics(sd: dict, spec=None) -> tuple:
+    """Flat torch state dict (ultralytics DetectionModel) -> (params, spec).
+
+    Layer indices follow yolov8.yaml (see yolov8.backbone_plan); BN is folded
+    so every Conv block becomes one fused conv+bias+SiLU on device.
+    """
+    from geotrax_tpu.models.yolov8 import backbone_plan
+
+    if spec is None:
+        spec = infer_spec(sd)
+    plan = backbone_plan(spec)
+    layers: dict = {}
+    for i, (kind, _args) in plan.items():
+        prefix = f"model.{i}"
+        if kind == "conv":
+            layers[str(i)] = _fold_conv_bn(sd, prefix)
+        elif kind == "c2f":
+            layers[str(i)] = _c2f_params(sd, prefix)
+        else:  # sppf
+            layers[str(i)] = {
+                "cv1": _fold_conv_bn(sd, f"{prefix}.cv1"),
+                "cv2": _fold_conv_bn(sd, f"{prefix}.cv2"),
+            }
+
+    cv2_list, cv3_list = [], []
+    for k in range(3):
+        cv2_list.append([
+            _fold_conv_bn(sd, f"model.22.cv2.{k}.0"),
+            _fold_conv_bn(sd, f"model.22.cv2.{k}.1"),
+            _plain_conv(sd, f"model.22.cv2.{k}.2"),
+        ])
+        cv3_list.append([
+            _fold_conv_bn(sd, f"model.22.cv3.{k}.0"),
+            _fold_conv_bn(sd, f"model.22.cv3.{k}.1"),
+            _plain_conv(sd, f"model.22.cv3.{k}.2"),
+        ])
+    layers["22"] = {"cv2": cv2_list, "cv3": cv3_list}
+    return {"layers": layers}, spec
+
+
+def load_model(model_path: Path):
+    """Load a detector checkpoint (.pt torch or .npz native) ->
+    (params, spec, class_names)."""
+    from geotrax_tpu.models.yolov8 import ModelSpec
+
+    model_path = Path(model_path)
+    if model_path.suffix == ".pt":
+        sd = torch_state_dict(model_path)
+        params, spec = convert_ultralytics(sd)
+        names = read_class_names(model_path)
+        return params, spec, names
+    if model_path.suffix == ".npz":
+        params, meta = load_npz(model_path)
+        spec = ModelSpec(
+            variant=str(meta.get("variant", "s")),
+            nc=int(meta.get("nc", 4)),
+            reg_max=int(meta.get("reg_max", 16)),
+        )
+        # load_npz reconstructs dicts keyed by strings; restore detect-head lists
+        params = _restore_lists(params)
+        return params, spec, meta.get("class_names")
+    raise ValueError(f"Unsupported model format: {model_path}")
+
+
+def _restore_lists(node):
+    """Convert {'0': ..., '1': ...} dicts (from npz flattening) back to lists."""
+    if isinstance(node, dict):
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [_restore_lists(node[str(i)]) for i in range(len(keys))]
+        return {k: _restore_lists(v) for k, v in node.items()}
+    return node
+
+
 def save_npz(path: Path, params: dict, class_names: Optional[dict] = None, **meta) -> None:
     """Save a flattened JAX parameter tree plus metadata as .npz."""
     import jax
