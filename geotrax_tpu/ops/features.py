@@ -1,0 +1,232 @@
+"""Keypoint detection, binary descriptors, and matching (JAX, TPU-first).
+
+Replaces OpenCV's ORB detect/describe + brute-force matching
+(SURVEY.md §2.3 N8/N9) used by the stabilization engine and image
+registration. Everything is fixed-shape:
+
+- FAST-style corner test: the 16-pixel Bresenham circle is materialized as
+  16 shifted copies of the image (pure VPU elementwise work); a corner needs
+  >= 9 contiguous brighter or darker pixels (run-length via a doubled-mask
+  trick). Harris-like score for ranking, 3x3 non-max suppression, global
+  top-K -> exactly ``max_features`` keypoints with a validity mask.
+- Orientation by intensity centroid (ORB): patch moments within a radius-15
+  disc -> atan2(m01, m10).
+- Steered binary descriptor: 256 pixel-pair tests (deterministic Gaussian
+  pattern) on a Gaussian-smoothed image, test offsets rotated per keypoint.
+- Matching: Hamming distance of {0,1} descriptors via one matmul on the MXU
+  (|a XOR b| = sum a + sum b - 2 a.b), top-2 + Lowe ratio test.
+
+Descriptors are bit-compatible only with themselves (both sides of every
+match come from this module), so the pattern choice is free; what matters —
+and what tests pin — is registration accuracy of the downstream RANSAC fit
+on known warps.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# 16 offsets of the radius-3 Bresenham circle, clockwise from 12 o'clock.
+_CIRCLE = np.array([
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+], dtype=np.int32)  # (dx, dy)
+
+
+class Keypoints(NamedTuple):
+    xy: jnp.ndarray      # (K, 2) float, x then y (full-resolution pixels)
+    score: jnp.ndarray   # (K,)
+    angle: jnp.ndarray   # (K,) radians
+    valid: jnp.ndarray   # (K,) bool
+
+
+def rgb_to_gray(image: jnp.ndarray) -> jnp.ndarray:
+    """(H,W,3) uint8/float RGB -> (H,W) float32 luma (ITU-R BT.601)."""
+    img = image.astype(jnp.float32)
+    return img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
+
+
+def downsample(gray: jnp.ndarray, ratio: float) -> jnp.ndarray:
+    if ratio >= 1.0:
+        return gray
+    h, w = gray.shape
+    return jax.image.resize(gray, (int(h * ratio), int(w * ratio)), method="linear")
+
+
+def boxes_mask(shape: tuple, boxes_xywh, margin_ratio: float = 0.15) -> jnp.ndarray:
+    """(H,W) bool mask that is False inside each (cx,cy,w,h) box inflated by
+    ``margin_ratio`` — the stabilizer's moving-object exclusion
+    (reference cfg stabilo.mask_use/mask_margin_ratio)."""
+    h, w = shape
+    ys = jnp.arange(h)[:, None, None].astype(jnp.float32)
+    xs = jnp.arange(w)[None, :, None].astype(jnp.float32)
+    cx, cy = boxes_xywh[:, 0], boxes_xywh[:, 1]
+    bw = boxes_xywh[:, 2] * (1 + margin_ratio)
+    bh = boxes_xywh[:, 3] * (1 + margin_ratio)
+    inside = (
+        (xs >= cx - bw / 2) & (xs <= cx + bw / 2)
+        & (ys >= cy - bh / 2) & (ys <= cy + bh / 2)
+        & (boxes_xywh[:, 2] > 0)[None, None, :]
+    )
+    return ~jnp.any(inside, axis=-1)
+
+
+def _shift(img, dx, dy):
+    """Shift with zero padding: out[y, x] = img[y+dy, x+dx]."""
+    return jnp.roll(img, shift=(-dy, -dx), axis=(0, 1))
+
+
+def _gaussian_blur(gray: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
+    radius = int(3 * sigma + 0.5)
+    x = np.arange(-radius, radius + 1)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k = jnp.asarray(k / k.sum(), jnp.float32)
+    blurred = jax.vmap(lambda row: jnp.convolve(row, k, mode="same"))(gray)
+    blurred = jax.vmap(lambda col: jnp.convolve(col, k, mode="same"))(blurred.T).T
+    return blurred
+
+
+@partial(jax.jit, static_argnames=("max_features", "threshold"))
+def fast_detect(gray: jnp.ndarray, max_features: int, threshold: float = 20.0,
+                mask: jnp.ndarray | None = None) -> Keypoints:
+    """FAST-9/16 corners with contiguity test + Harris-style score, 3x3 NMS,
+    and top-``max_features`` selection."""
+    h, w = gray.shape
+    center = gray
+    ring = jnp.stack([_shift(gray, int(dx), int(dy)) for dx, dy in _CIRCLE])  # (16,H,W)
+
+    brighter = ring > center[None] + threshold
+    darker = ring < center[None] - threshold
+
+    def max_run(bits):  # (16,H,W) bool -> longest circular run length
+        doubled = jnp.concatenate([bits, bits], axis=0).astype(jnp.int32)
+
+        def scan_fn(carry, row):
+            run = (carry + 1) * row
+            return run, run
+
+        _, runs = jax.lax.scan(scan_fn, jnp.zeros_like(doubled[0]), doubled)
+        return jnp.max(runs, axis=0)
+
+    is_corner = (max_run(brighter) >= 9) | (max_run(darker) >= 9)
+
+    # Score: summed absolute ring difference (FAST score flavor).
+    score = jnp.sum(jnp.abs(ring - center[None]), axis=0) * is_corner
+
+    # Exclude borders and masked (vehicle) regions.
+    border = 16
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    ok = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+    if mask is not None:
+        ok = ok & mask
+    score = jnp.where(ok, score, 0.0)
+
+    # 3x3 non-max suppression.
+    neighborhood = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    score = jnp.where(score >= neighborhood, score, 0.0)
+
+    top_scores, flat_idx = jax.lax.top_k(score.reshape(-1), max_features)
+    kp_y = (flat_idx // w).astype(jnp.float32)
+    kp_x = (flat_idx % w).astype(jnp.float32)
+    valid = top_scores > 0.0
+
+    # Orientation: intensity centroid over a radius-15 disc.
+    angle = _orientation(gray, kp_x, kp_y)
+    return Keypoints(
+        xy=jnp.stack([kp_x, kp_y], axis=-1),
+        score=top_scores,
+        angle=angle,
+        valid=valid,
+    )
+
+
+@lru_cache(maxsize=4)
+def _disc_offsets(radius: int = 15):
+    ys, xs = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    inside = xs**2 + ys**2 <= radius**2
+    return (np.stack([xs[inside], ys[inside]], axis=-1)).astype(np.int32)
+
+
+def _orientation(gray, kp_x, kp_y, radius: int = 15):
+    offs = jnp.asarray(_disc_offsets(radius))  # (P,2)
+    h, w = gray.shape
+    sx = jnp.clip(kp_x[:, None] + offs[None, :, 0], 0, w - 1).astype(jnp.int32)
+    sy = jnp.clip(kp_y[:, None] + offs[None, :, 1], 0, h - 1).astype(jnp.int32)
+    patch = gray[sy, sx]  # (K, P)
+    m10 = jnp.sum(patch * offs[None, :, 0], axis=1)
+    m01 = jnp.sum(patch * offs[None, :, 1], axis=1)
+    return jnp.arctan2(m01, m10)
+
+
+@lru_cache(maxsize=4)
+def _brief_pattern(n_tests: int = 256, patch: int = 31, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    sd = patch / 5.0
+    pts = rng.normal(0.0, sd, size=(n_tests, 2, 2))
+    return np.clip(pts, -(patch // 2), patch // 2).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("n_tests",))
+def describe(gray: jnp.ndarray, kps: Keypoints, n_tests: int = 256) -> jnp.ndarray:
+    """Steered binary descriptors (K, n_tests) in {0,1} float32."""
+    smoothed = _gaussian_blur(gray, sigma=2.0)
+    pattern = jnp.asarray(_brief_pattern(n_tests))  # (T,2,2)
+    cos = jnp.cos(kps.angle)
+    sin = jnp.sin(kps.angle)
+    rot = jnp.stack([jnp.stack([cos, -sin], -1), jnp.stack([sin, cos], -1)], -2)  # (K,2,2)
+    # rotate both test points for all keypoints: (K,T,2,2)
+    rotated = jnp.einsum("kij,tpj->ktpi", rot, pattern)
+    pos = kps.xy[:, None, None, :] + rotated  # (K,T,2,[x,y])
+    h, w = gray.shape
+    px = jnp.clip(jnp.round(pos[..., 0]), 0, w - 1).astype(jnp.int32)
+    py = jnp.clip(jnp.round(pos[..., 1]), 0, h - 1).astype(jnp.int32)
+    vals = smoothed[py, px]  # (K,T,2)
+    return (vals[..., 0] < vals[..., 1]).astype(jnp.float32)
+
+
+class Matches(NamedTuple):
+    idx_a: jnp.ndarray   # (M,) indices into A's keypoints
+    idx_b: jnp.ndarray   # (M,)
+    valid: jnp.ndarray   # (M,) bool
+
+
+@partial(jax.jit, static_argnames=())
+def match_descriptors(desc_a, valid_a, desc_b, valid_b, ratio: float = 0.9) -> Matches:
+    """Brute-force Hamming matching with Lowe ratio test.
+
+    dist(a,b) = sum(a) + sum(b) - 2 a.b — one (Ka,Kb) matmul on the MXU.
+    Returns one candidate match per A keypoint (fixed shape Ka) with a
+    validity mask (ratio-test pass + both endpoints valid) and mutual
+    cross-check (B's best must be A).
+    """
+    with jax.default_matmul_precision("highest"):
+        dots = desc_a @ desc_b.T
+    dist = desc_a.sum(axis=1, keepdims=True) + desc_b.sum(axis=1)[None, :] - 2.0 * dots
+    big = jnp.float32(1e9)
+    dist = jnp.where(valid_a[:, None] & valid_b[None, :], dist, big)
+
+    best_b = jnp.argmin(dist, axis=1)
+    best_d = jnp.min(dist, axis=1)
+    second_d = jnp.min(
+        dist.at[jnp.arange(dist.shape[0]), best_b].set(big), axis=1
+    )
+    ratio_ok = best_d < ratio * second_d
+
+    # mutual cross-check
+    best_a_of_b = jnp.argmin(dist, axis=0)
+    mutual = best_a_of_b[best_b] == jnp.arange(dist.shape[0])
+
+    valid = valid_a & ratio_ok & mutual & (best_d < big / 2)
+    return Matches(
+        idx_a=jnp.arange(dist.shape[0]),
+        idx_b=best_b,
+        valid=valid,
+    )

@@ -1,0 +1,172 @@
+"""Video stabilization engine with the Stabilo API surface.
+
+Re-implements the external `stabilo` dependency the reference builds on
+(SURVEY.md §2.5; consumed at reference extract.py:139,174-188 and
+utils/registration.py:59-86): per-frame homography estimation against a
+reference frame, with detected-vehicle masking, downsampled feature work,
+ratio-test matching, and robust projective/affine fitting. The compute path
+is the JAX feature stack (ops/features.py) + parallel-hypothesis RANSAC
+(ops/ransac.py); this class is the thin host-side state holder.
+
+API parity (used by the extraction stage and registration helper):
+    Stabilizer(**cfg)                      cfg = the YAML 'stabilo' section
+    set_ref_frame(frame, boxes|None)
+    stabilize(frame, boxes|None)
+    transform_cur_boxes() -> (N,4) boxes in reference coords | None
+    get_cur_trans_matrix() -> 3x3 cur->ref homography | None
+    get_cur_num_keypoints() -> (ref_count, cur_count)
+    get_cur_num_matches() -> int
+    get_cur_inliers_count() -> int
+
+Dual use like the reference: (a) per-frame video stabilization during
+extraction; (b) one-shot src->dst registration for georeferencing (dst set
+as the reference, src 'stabilized' onto it).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geotrax_tpu.ops import features
+from geotrax_tpu.ops.homography import apply_homography
+from geotrax_tpu.ops.ransac import ransac_fit
+
+
+class Stabilizer:
+    def __init__(
+        self,
+        downsample_ratio: float = 0.5,
+        max_features: int = 2000,
+        ref_multiplier: float = 2.0,
+        filter_ratio: float = 0.9,
+        transformation_type: str = "projective",
+        ransac_epipolar_threshold: float = 2.0,
+        ransac_max_iter: int = 5000,
+        mask_use: bool = True,
+        mask_margin_ratio: float = 0.15,
+        clahe: bool = False,
+        detector_name: str = "orb",
+        min_good_match_count_warning: int = 20,
+        min_inliers_match_count_warning: int = 10,
+        **_ignored,  # full stabilo config surface accepted
+    ):
+        self.downsample_ratio = float(downsample_ratio)
+        self.max_features = int(max_features)
+        self.ref_features = int(max_features * ref_multiplier)
+        self.filter_ratio = float(filter_ratio)
+        self.transformation_type = transformation_type
+        self.ransac_threshold = float(ransac_epipolar_threshold)
+        self.num_hypotheses = int(min(max(ransac_max_iter, 512), 4096))
+        self.mask_use = bool(mask_use)
+        self.mask_margin_ratio = float(mask_margin_ratio)
+        self.clahe = bool(clahe)
+        self.detector_name = detector_name
+        self.min_match_warning = min_good_match_count_warning
+        self.min_inlier_warning = min_inliers_match_count_warning
+
+        self._ref = None      # (kps, desc)
+        self._key = jax.random.PRNGKey(0)
+        self._cur_boxes = None
+        self._cur_h: Optional[np.ndarray] = None
+        self._cur_boxes_ref: Optional[np.ndarray] = None
+        self._cur_counts = (0, 0)
+        self._cur_matches = 0
+        self._cur_inliers = 0
+
+    # ------------------------------------------------------------------ internals
+    def _prepare(self, frame: np.ndarray, boxes, n_features: int):
+        gray = features.rgb_to_gray(jnp.asarray(frame))
+        gray = features.downsample(gray, self.downsample_ratio)
+        mask = None
+        if self.mask_use and boxes is not None and len(boxes):
+            scaled = jnp.asarray(boxes, jnp.float32) * self.downsample_ratio
+            mask = features.boxes_mask(gray.shape, scaled, self.mask_margin_ratio)
+        kps = features.fast_detect(gray, n_features, mask=mask)
+        desc = features.describe(gray, kps)
+        return kps, desc
+
+    # ------------------------------------------------------------------ API
+    def set_ref_frame(self, frame: np.ndarray, boxes=None) -> None:
+        """Fix the reference frame (features extracted once, at the higher
+        ref_multiplier budget)."""
+        self._ref = self._prepare(frame, boxes, self.ref_features)
+
+    def stabilize(self, frame: np.ndarray, boxes=None) -> None:
+        """Estimate the cur->ref homography for this frame."""
+        if self._ref is None:
+            raise RuntimeError("set_ref_frame must be called before stabilize")
+        self._cur_boxes = None if boxes is None else np.asarray(boxes, np.float32)
+        kps, desc = self._prepare(frame, boxes, self.max_features)
+        ref_kps, ref_desc = self._ref
+        self._cur_counts = (int(ref_kps.valid.sum()), int(kps.valid.sum()))
+
+        matches = features.match_descriptors(
+            desc, kps.valid, ref_desc, ref_kps.valid, ratio=self.filter_ratio
+        )
+        n_matches = int(matches.valid.sum())
+        self._cur_matches = n_matches
+        if n_matches < 4:
+            self._cur_h = None
+            self._cur_inliers = 0
+            self._cur_boxes_ref = None
+            return
+
+        src = kps.xy[matches.idx_a]
+        dst = ref_kps.xy[matches.idx_b]
+        self._key, sub = jax.random.split(self._key)
+        result = ransac_fit(
+            src, dst, matches.valid,
+            threshold=self.ransac_threshold,  # in working (downsampled) px, like stabilo
+            key=sub,
+            num_hypotheses=self.num_hypotheses,
+            transformation="projective" if self.transformation_type == "projective" else "affine",
+        )
+        self._cur_inliers = int(result.num_inliers)
+
+        # Undo the downsampling: H_full = S^-1 · H_ds · S  (S = scale matrix).
+        s = self.downsample_ratio
+        scale = np.diag([s, s, 1.0]).astype(np.float32)
+        h_ds = np.asarray(result.h_matrix)
+        h_full = np.linalg.inv(scale) @ h_ds @ scale
+        self._cur_h = h_full / h_full[2, 2]
+
+        if self._cur_boxes is not None and len(self._cur_boxes):
+            # Transform all four corners, re-fit the axis-aligned box.
+            cx, cy, w, h = (self._cur_boxes[:, i] for i in range(4))
+            corners = np.stack([
+                np.stack([cx - w / 2, cy - h / 2], -1),
+                np.stack([cx + w / 2, cy - h / 2], -1),
+                np.stack([cx + w / 2, cy + h / 2], -1),
+                np.stack([cx - w / 2, cy + h / 2], -1),
+            ], axis=1)  # (N,4,2)
+            flat = corners.reshape(-1, 2)
+            moved = np.asarray(
+                apply_homography(jnp.asarray(self._cur_h), jnp.asarray(flat)[None])[0]
+            ).reshape(-1, 4, 2)
+            mins = moved.min(axis=1)
+            maxs = moved.max(axis=1)
+            out = self._cur_boxes.copy()
+            out[:, 0:2] = (mins + maxs) / 2
+            out[:, 2:4] = maxs - mins
+            self._cur_boxes_ref = out
+        else:
+            self._cur_boxes_ref = self._cur_boxes
+
+    def transform_cur_boxes(self):
+        return self._cur_boxes_ref
+
+    def get_cur_trans_matrix(self):
+        return self._cur_h
+
+    def get_cur_num_keypoints(self):
+        return self._cur_counts
+
+    def get_cur_num_matches(self):
+        return self._cur_matches
+
+    def get_cur_inliers_count(self):
+        return self._cur_inliers

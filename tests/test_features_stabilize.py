@@ -1,0 +1,147 @@
+"""Feature pipeline + stabilizer: registration accuracy on known warps."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from geotrax_tpu.ops import features
+from geotrax_tpu.ops.warp import warp_perspective
+from geotrax_tpu.stabilize import Stabilizer
+
+
+def textured_image(h=240, w=320, seed=0):
+    """Synthetic aerial-like texture: smoothed noise + high-contrast blobs +
+    road-like lines (gives FAST plenty of corners)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(40, 90, (h, w)).astype(np.float32)
+    # blocky structures
+    for _ in range(60):
+        y, x = rng.integers(10, h - 20), rng.integers(10, w - 20)
+        bh, bw = rng.integers(4, 16, 2)
+        img[y:y + bh, x:x + bw] = rng.integers(120, 255)
+    # lines
+    for _ in range(8):
+        y = rng.integers(0, h)
+        img[y:y + 2, :] = 200
+    rgb = np.stack([img, img, img], axis=-1)
+    return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+def small_homography(seed=1):
+    rng = np.random.default_rng(seed)
+    h = np.eye(3)
+    ang = rng.uniform(-0.05, 0.05)
+    c, s = np.cos(ang), np.sin(ang)
+    h[:2, :2] = np.array([[c, -s], [s, c]]) * rng.uniform(0.97, 1.03)
+    h[:2, 2] = rng.uniform(-8, 8, 2)
+    return h
+
+
+def corner_error(h_est, h_true, w, hgt):
+    from geotrax_tpu.ops.homography import apply_homography
+
+    corners = jnp.asarray(
+        [[20.0, 20.0], [w - 20.0, 20.0], [w - 20.0, hgt - 20.0], [20.0, hgt - 20.0]]
+    )
+    a = np.asarray(apply_homography(jnp.asarray(h_est), corners[None])[0])
+    b = np.asarray(apply_homography(jnp.asarray(h_true), corners[None])[0])
+    return np.linalg.norm(a - b, axis=1).max()
+
+
+def test_fast_detect_finds_corners():
+    img = textured_image()
+    gray = features.rgb_to_gray(jnp.asarray(img))
+    kps = features.fast_detect(gray, 512)
+    assert int(kps.valid.sum()) > 100
+    # keypoints stay inside the border margin
+    xy = np.asarray(kps.xy)[np.asarray(kps.valid)]
+    assert xy[:, 0].min() >= 16 and xy[:, 1].min() >= 16
+
+
+def test_mask_excludes_regions():
+    img = textured_image()
+    gray = features.rgb_to_gray(jnp.asarray(img))
+    boxes = jnp.asarray([[160.0, 120.0, 120.0, 80.0]])
+    mask = features.boxes_mask(gray.shape, boxes, margin_ratio=0.0)
+    kps = features.fast_detect(gray, 512, mask=mask)
+    xy = np.asarray(kps.xy)[np.asarray(kps.valid)]
+    inside = (np.abs(xy[:, 0] - 160) < 60) & (np.abs(xy[:, 1] - 120) < 40)
+    assert not inside.any()
+
+
+def test_match_self_is_identity():
+    img = textured_image()
+    gray = features.rgb_to_gray(jnp.asarray(img))
+    kps = features.fast_detect(gray, 256)
+    desc = features.describe(gray, kps)
+    matches = features.match_descriptors(desc, kps.valid, desc, kps.valid, ratio=0.95)
+    valid = np.asarray(matches.valid)
+    # self-matching: every valid match maps a keypoint to itself
+    assert valid.sum() > 50
+    np.testing.assert_array_equal(
+        np.asarray(matches.idx_a)[valid], np.asarray(matches.idx_b)[valid]
+    )
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_registration_recovers_known_warp(seed):
+    """Warp an image by a known small homography; the feature+RANSAC stack
+    must recover it within ~1 px over the frame."""
+    img = textured_image(seed=seed)
+    h_true = small_homography(seed)
+    warped = np.asarray(
+        warp_perspective(jnp.asarray(img), jnp.asarray(h_true), img.shape[0], img.shape[1])
+    )
+
+    stab = Stabilizer(downsample_ratio=1.0, max_features=800,
+                      ransac_epipolar_threshold=2.0)
+    stab.set_ref_frame(warped)           # reference = warped target
+    stab.stabilize(img)                  # map original -> warped
+    h_est = stab.get_cur_trans_matrix()
+    assert h_est is not None
+    assert stab.get_cur_inliers_count() > 30
+    err = corner_error(h_est, h_true, img.shape[1], img.shape[0])
+    assert err < 1.5, f"corner error {err:.2f}px"
+
+
+def test_stabilizer_downsampled_path():
+    img = textured_image(h=480, w=640, seed=3)
+    h_true = small_homography(3)
+    warped = np.asarray(
+        warp_perspective(jnp.asarray(img), jnp.asarray(h_true), 480, 640)
+    )
+    stab = Stabilizer(downsample_ratio=0.5, max_features=1500)
+    stab.set_ref_frame(warped)
+    stab.stabilize(img)
+    h_est = stab.get_cur_trans_matrix()
+    assert h_est is not None
+    err = corner_error(h_est, h_true, 640, 480)
+    assert err < 3.0, f"corner error {err:.2f}px (downsampled path)"
+
+
+def test_stabilizer_box_transform():
+    img = textured_image(h=480, w=640, seed=4)
+    shift = np.eye(3)
+    shift[:2, 2] = [10.0, -6.0]
+    warped = np.asarray(warp_perspective(jnp.asarray(img), jnp.asarray(shift), 480, 640))
+    stab = Stabilizer(downsample_ratio=1.0, max_features=800, mask_use=True)
+    stab.set_ref_frame(warped)
+    boxes = np.array([[200.0, 200.0, 30.0, 20.0]], np.float32)
+    stab.stabilize(img, boxes)
+    out = stab.transform_cur_boxes()
+    assert out is not None
+    np.testing.assert_allclose(out[0, :2], [210.0, 194.0], atol=2.0)
+    np.testing.assert_allclose(out[0, 2:], [30.0, 20.0], atol=2.0)
+
+
+def test_identity_when_same_frame():
+    img = textured_image(seed=5)
+    stab = Stabilizer(downsample_ratio=1.0, max_features=600)
+    stab.set_ref_frame(img)
+    stab.stabilize(img)
+    h = stab.get_cur_trans_matrix()
+    assert h is not None
+    err = corner_error(h, np.eye(3), img.shape[1], img.shape[0])
+    assert err < 0.5
