@@ -188,13 +188,24 @@ class SyntheticVideoReader:
         self.n_frames = n_frames
         rng = np.random.default_rng(seed)
         if boxes is None:
-            # two boxes moving on straight lines
+            # two elongated vehicle-like boxes moving on straight lines
             boxes = [
-                {"xy0": (30.0, 40.0), "v": (2.0, 0.5), "wh": (24, 14), "color": (255, 40, 40)},
-                {"xy0": (180.0, 120.0), "v": (-1.5, -0.8), "wh": (18, 10), "color": (40, 255, 40)},
+                {"xy0": (30.0, 40.0), "v": (2.0, 0.5), "wh": (30, 12), "color": (255, 40, 40)},
+                {"xy0": (180.0, 120.0), "v": (-1.5, -0.8), "wh": (24, 10), "color": (40, 255, 40)},
             ]
         self.boxes = boxes
-        self._bg = rng.integers(0, 60, size=(self.info.height, self.info.width, 3), dtype=np.uint8)
+        # Structured background (blocks + lines): per-pixel noise would give
+        # feature descriptors nothing stable to match against.
+        h, w = self.info.height, self.info.width
+        bg = rng.integers(40, 90, size=(h, w)).astype(np.uint8)
+        for _ in range(max(40, h * w // 1000)):
+            y, x = int(rng.integers(0, h - 12)), int(rng.integers(0, w - 12))
+            bh, bw = rng.integers(4, 12, size=2)
+            bg[y:y + bh, x:x + bw] = rng.integers(120, 255)
+        for _ in range(6):
+            y = int(rng.integers(0, h - 2))
+            bg[y:y + 2, :] = 200
+        self._bg = np.stack([bg, bg, bg], axis=-1)
 
     def boxes_at(self, idx: int):
         out = []

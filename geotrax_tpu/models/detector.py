@@ -1,0 +1,109 @@
+"""Host-facing detector: letterbox -> jitted YOLOv8 forward -> on-device NMS.
+
+The extract stage's replacement for ultralytics `model.track()`'s detection
+half (reference extract.py:153): one jit-compiled function per video
+resolution (static letterbox shape), returning fixed max_det slots that feed
+the slot-based tracker directly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geotrax_tpu.models import yolov8
+from geotrax_tpu.ops.nms import postprocess_detections
+
+
+class Detector:
+    def __init__(self, model_path: Path, detect_cfg: dict, logger=None):
+        from geotrax_tpu.models.convert import load_model
+
+        self.params, self.spec, self.class_names = load_model(model_path)
+        self.imgsz = int(detect_cfg.get("imgsz", 1920) or 1920)
+        self.conf = float(detect_cfg.get("conf", 0.25) or 0.25)
+        self.iou = float(detect_cfg.get("iou", 0.7) or 0.7)
+        self.max_det = int(detect_cfg.get("max_det", 1000) or 1000)
+        self.agnostic = bool(detect_cfg.get("agnostic_nms", True))
+        classes = detect_cfg.get("classes")
+        self.class_mask = None
+        if classes is not None:
+            mask = np.zeros((self.spec.nc,), bool)
+            mask[np.asarray(classes, int)] = True
+            self.class_mask = jnp.asarray(mask)
+        self._geom = {}
+        self._fn = {}
+        if logger:
+            logger.info(
+                f"Detector: yolov8{self.spec.variant} nc={self.spec.nc} "
+                f"imgsz={self.imgsz} conf={self.conf} iou={self.iou} max_det={self.max_det}"
+            )
+
+    def _pipeline(self, src_h: int, src_w: int):
+        """Build (and cache) the jitted end-to-end function for a resolution."""
+        key = (src_h, src_w)
+        if key in self._fn:
+            return self._fn[key], self._geom[key]
+        out_h, out_w, r, top, left = yolov8.letterbox_shape(src_h, src_w, self.imgsz)
+        new_h, new_w = round(src_h * r), round(src_w * r)
+        spec = self.spec
+        params = self.params
+        conf, iou, max_det = self.conf, self.iou, self.max_det
+        class_mask, agnostic = self.class_mask, self.agnostic
+
+        @jax.jit
+        def run(frame_u8):
+            img = yolov8.letterbox(frame_u8, out_h, out_w, new_h, new_w, top, left)
+            boxes, probs = yolov8.forward(params, img[None], spec)
+            det = postprocess_detections(
+                boxes[0], probs[0], conf, iou, max_det,
+                class_mask=class_mask, agnostic=agnostic,
+            )
+            det["boxes_xywh"] = yolov8.unletterbox_boxes(det["boxes_xywh"], r, top, left)
+            return det
+
+        self._fn[key] = run
+        self._geom[key] = (r, top, left)
+        return run, self._geom[key]
+
+    def __call__(self, frame_rgb_u8: np.ndarray, frame_index: int = 0) -> dict:
+        """Detect on one (H,W,3) uint8 frame -> dict of (max_det,) arrays."""
+        run, _ = self._pipeline(frame_rgb_u8.shape[0], frame_rgb_u8.shape[1])
+        return run(jnp.asarray(frame_rgb_u8))
+
+
+class OracleDetector:
+    """Test double: 'detects' ground-truth boxes supplied per frame index
+    (used with SyntheticVideoReader so the extraction pipeline runs
+    hermetically — the fake-backend pattern from SURVEY.md §4)."""
+
+    def __init__(self, boxes_by_frame, max_det: int = 8, score: float = 0.9, cls: int = 0):
+        self.boxes_by_frame = boxes_by_frame
+        self.max_det = max_det
+        self.score = score
+        self.cls = cls
+        self.class_names = {0: "car", 1: "bus", 2: "truck", 3: "motorcycle"}
+
+    def __call__(self, frame_rgb_u8, frame_index: int = 0) -> dict:
+        boxes = self.boxes_by_frame(frame_index)
+        b = np.zeros((self.max_det, 4), np.float32)
+        s = np.zeros((self.max_det,), np.float32)
+        c = np.full((self.max_det,), -1, np.int32)
+        v = np.zeros((self.max_det,), bool)
+        n = min(len(boxes), self.max_det)
+        if n:
+            arr = np.asarray(boxes, np.float32)[:n]
+            b[:n] = arr[:, :4]
+            s[:n] = arr[:, 4] if arr.shape[1] > 4 else self.score
+            c[:n] = arr[:, 5].astype(np.int32) if arr.shape[1] > 5 else self.cls
+            v[:n] = True
+        return {
+            "boxes_xywh": jnp.asarray(b),
+            "scores": jnp.asarray(s),
+            "classes": jnp.asarray(c),
+            "valid": jnp.asarray(v),
+        }

@@ -1,0 +1,265 @@
+"""Extraction stage implementation: decode -> detect -> track -> stabilize.
+
+The reference's hot loop (extract.py:145-197) re-designed TPU-first: a host
+decode thread prefetches frames, the device runs one jitted detection step
+(letterbox + YOLOv8 + NMS) and one jitted tracker step per frame, and the
+stabilization feature pipeline reuses the per-frame detections as masks.
+Camera-motion compensation for the GMC trackers is derived from consecutive
+stabilization homographies (H_prev->cur = H_cur->ref^-1 . H_prev->ref)
+instead of a separate optical-flow pass (reference §2.3 N7).
+
+Outputs (schemas identical to the reference, README 'Output file formats'):
+  <out>/<stem><tracks_postfix>.txt       10/11/14/15-col tracks, %g, comma
+  <out>/<stem><stab_postfix>.txt         frame + 3x3 homography, %.16g
+  <video>.yaml                           run metadata next to the video
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+import yaml
+from tqdm import tqdm
+
+from geotrax_tpu import __version__
+from geotrax_tpu.pipeline import postprocess
+from geotrax_tpu.utils.config_utils import backfill_args_from_config, load_config_all
+from geotrax_tpu.utils.file_utils import convert_to_serializable, get_output_dir
+
+
+def load_detector(config: dict, logger):
+    """Build the detection backend (tests monkeypatch this, mirroring the
+    reference's load_detector patch point, extract.py:217)."""
+    from geotrax_tpu.models.detector import Detector
+
+    return Detector(Path(config["ultralytics"]["model"]), config["ultralytics"], logger)
+
+
+def open_reader(source: Path, start: int, stop, config: dict):
+    """Video reader factory (tests monkeypatch with SyntheticVideoReader)."""
+    from geotrax_tpu.io.video import VideoReader
+
+    return VideoReader(source, start=start, stop=stop)
+
+
+def _transform_boxes(h_matrix: np.ndarray, boxes_xywh: np.ndarray) -> np.ndarray:
+    """Map (N,4) cxcywh boxes through a homography (corner transform +
+    axis-aligned refit; same convention as the stabilizer)."""
+    if len(boxes_xywh) == 0:
+        return boxes_xywh
+    cx, cy, w, h = (boxes_xywh[:, i] for i in range(4))
+    corners = np.stack([
+        np.stack([cx - w / 2, cy - h / 2], -1),
+        np.stack([cx + w / 2, cy - h / 2], -1),
+        np.stack([cx + w / 2, cy + h / 2], -1),
+        np.stack([cx - w / 2, cy + h / 2], -1),
+    ], axis=1).reshape(-1, 2)
+    homog = np.concatenate([corners, np.ones((len(corners), 1))], axis=1)
+    mapped = homog @ h_matrix.T
+    mapped = (mapped[:, :2] / mapped[:, 2:3]).reshape(-1, 4, 2)
+    mins, maxs = mapped.min(axis=1), mapped.max(axis=1)
+    out = boxes_xywh.copy()
+    out[:, 0:2] = (mins + maxs) / 2
+    out[:, 2:4] = maxs - mins
+    return out
+
+
+def track_video(args, config: dict, logger) -> tuple:
+    """Run the per-frame loop; returns (tracks_rows, transforms_rows, stats)."""
+    from geotrax_tpu.track import make_tracker
+
+    main = config["main"]
+    extraction = main["extraction"]
+    stabilize_on = bool(extraction.get("stabilize", True))
+
+    detector = load_detector(config, logger)
+    max_det = int(config["ultralytics"].get("max_det", 1000) or 1000)
+    tracker_name = main["tracker_active"]
+    tracker_params = main["tracker_params"]
+    _, tracker_state, tracker_step = make_tracker(
+        tracker_name, tracker_params, max_tracks=max(256, min(max_det, 1024))
+    )
+
+    stabilizer = None
+    if stabilize_on:
+        from geotrax_tpu.stabilize import Stabilizer
+
+        stabilizer = Stabilizer(**config.get("stabilo", {}))
+
+    cut_left = int(args.cut_frame_left or 0)
+    cut_right = args.cut_frame_right
+    reader = open_reader(args.source, cut_left, cut_right, config)
+
+    rows = []
+    transforms = []
+    h_prev = None
+    detect_ms = stab_ms = 0.0
+    n_frames = 0
+    t_start = time.time()
+    import jax.numpy as jnp
+
+    pbar = tqdm(desc="Extracting", unit="frame")
+    for frame_idx, frame in reader:
+        t0 = time.time()
+        det = detector(frame, frame_idx)
+        det_boxes = np.asarray(det["boxes_xywh"])
+        det_valid = np.asarray(det["valid"])
+        detect_ms += (time.time() - t0) * 1000
+
+        # ---- stabilization homography for this frame (also feeds GMC)
+        h_cur = np.eye(3)
+        t0 = time.time()
+        if stabilizer is not None:
+            mask_boxes = det_boxes[det_valid]
+            if frame_idx == cut_left:
+                stabilizer.set_ref_frame(frame, mask_boxes)
+            else:
+                stabilizer.stabilize(frame, mask_boxes)
+                h_est = stabilizer.get_cur_trans_matrix()
+                if h_est is not None:
+                    h_cur = h_est
+                else:
+                    logger.warning(f"Frame {frame_idx}: stabilization failed; identity used.")
+                transforms.append(np.concatenate([[frame_idx], h_cur.reshape(-1)]))
+        stab_ms += (time.time() - t0) * 1000
+
+        gmc_h = None
+        if h_prev is not None:
+            gmc_h = jnp.asarray(np.linalg.inv(h_cur) @ h_prev)
+        h_prev = h_cur
+
+        # ---- tracker step (frame ids are 1-based inside the tracker)
+        internal_frame = frame_idx - cut_left + 1
+        tracker_state, out = tracker_step(
+            tracker_state, det["boxes_xywh"], det["scores"], det["classes"],
+            det["valid"], internal_frame, gmc_h,
+        )
+        valid = np.asarray(out.valid)
+        ids = np.asarray(out.track_id)[valid]
+        boxes = np.asarray(out.box_xywh)[valid]
+        scores = np.asarray(out.score)[valid]
+        classes = np.asarray(out.cls)[valid]
+
+        if stabilize_on:
+            boxes_stab = boxes if frame_idx == cut_left else _transform_boxes(h_cur, boxes)
+            frame_rows = np.column_stack([
+                np.full(len(ids), frame_idx, float), ids.astype(float),
+                boxes, boxes_stab, classes.astype(float), scores,
+            ])
+        else:
+            frame_rows = np.column_stack([
+                np.full(len(ids), frame_idx, float), ids.astype(float),
+                boxes, classes.astype(float), scores,
+            ])
+        rows.append(frame_rows)
+        n_frames += 1
+        pbar.update(1)
+    pbar.close()
+
+    elapsed = max(time.time() - t_start, 1e-9)
+    stats = {
+        "frames": n_frames,
+        "avg_detect_ms": detect_ms / max(n_frames, 1),
+        "avg_stab_ms": stab_ms / max(n_frames, 1),
+        "fps": n_frames / elapsed,
+        "frame_size": (reader.info.width, reader.info.height),
+        "video_fps": reader.info.fps,
+    }
+    logger.info(
+        f"Extraction: {n_frames} frames, detect {stats['avg_detect_ms']:.1f} ms/f, "
+        f"stab {stats['avg_stab_ms']:.1f} ms/f, pipeline {stats['fps']:.1f} fps"
+    )
+    n_cols = 12 if stabilize_on else 8
+    tracks = np.concatenate(rows, axis=0) if rows else np.empty((0, n_cols))
+    transforms_arr = (
+        np.asarray(transforms) if transforms else np.empty((0, 10))
+    )
+    return tracks, transforms_arr, stats
+
+
+def run_extraction(args, logger) -> None:
+    config = load_config_all(args, logger, needs_model=True)
+    main = config["main"]
+    backfill_args_from_config(args, {
+        "cut_frame_left": main["processing"]["cut_frame_left"],
+        "cut_frame_right": main["processing"]["cut_frame_right"],
+        "interpolate": main["extraction"]["interpolate"],
+        "output_folder": main["output"]["folder"],
+    })
+    out_cfg = {**main["output"], "folder": args.output_folder}
+
+    tracks, transforms, stats = track_video(args, config, logger)
+
+    # ---- post-processing (reference extract.py:296-306 order)
+    tracks = postprocess.remove_short_tracks(
+        tracks, int(main["extraction"]["min_track_length"]), logger
+    )
+    tracks = postprocess.vote_track_classes(tracks)
+    frame_w, frame_h = stats["frame_size"]
+    tracks = postprocess.estimate_vehicle_dimensions(
+        tracks, main["extraction"]["dimension_estimation"], frame_w, frame_h
+    )
+    if args.interpolate:
+        max_gap = int(main["tracker_params"].get("track_buffer", 30))
+        tracks = postprocess.interpolate_tracks(tracks, max_gap, logger)
+
+    save_results(tracks, transforms, args, config, out_cfg, stats, logger)
+
+
+def save_results(tracks, transforms, args, config, out_cfg, stats, logger) -> None:
+    source = Path(args.source)
+    save_dir = get_output_dir(source, out_cfg)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    tracks_file = save_dir / f"{source.stem}{out_cfg.get('tracks_postfix', '')}.txt"
+    transf_file = save_dir / f"{source.stem}{out_cfg.get('stab_transform_postfix', '_vid_transf')}.txt"
+
+    if tracks.size:
+        np.savetxt(tracks_file, tracks, fmt="%g", delimiter=",")
+        logger.info(f"Tracking results saved to: '{tracks_file.resolve()}'")
+
+    if transforms.size and config["main"]["extraction"].get("save_stab", True):
+        frame_nums = transforms[:, 0].astype(int)
+        matrices = transforms[:, 1:].reshape(-1, 3, 3)
+        if len(frame_nums) and not np.all(np.diff(frame_nums) == 1):
+            logger.warning(f"Missing frame ids found in: '{transf_file}'.")
+        if len(matrices) and not np.all(np.linalg.det(matrices) > 0):
+            logger.warning(f"Invalid transforms found in: '{transf_file}'.")
+        np.savetxt(transf_file, transforms, fmt="%.16g", delimiter=",")
+        logger.info(f"Stabilization transforms saved to: '{transf_file.resolve()}'")
+
+    metadata = {
+        "geotrax_tpu_version": __version__,
+        "video": {
+            "source": str(source),
+            "width": stats["frame_size"][0],
+            "height": stats["frame_size"][1],
+            "fps": stats["video_fps"],
+            "frames_processed": stats["frames"],
+        },
+        "runtime": {
+            "avg_detect_ms": round(stats["avg_detect_ms"], 2),
+            "avg_stabilization_ms": round(stats["avg_stab_ms"], 2),
+            "pipeline_fps": round(stats["fps"], 2),
+        },
+        "config": {
+            "model": config["main"].get("model_configured"),
+            "tracker": config["main"].get("tracker_active"),
+            "extraction": config["main"].get("extraction"),
+            "stabilo": config.get("stabilo"),
+            "detection": {
+                k: config["ultralytics"].get(k)
+                for k in ("imgsz", "conf", "iou", "max_det", "classes", "agnostic_nms")
+            },
+        },
+        "args": convert_to_serializable(args),
+    }
+    meta_file = source.with_suffix(".yaml")
+    try:
+        with open(meta_file, "w") as fh:
+            yaml.dump(convert_to_serializable(metadata), fh,
+                      default_flow_style=False, sort_keys=False)
+        logger.info(f"Run metadata saved to: '{meta_file.resolve()}'")
+    except OSError as exc:
+        logger.warning(f"Could not write metadata: {exc}")

@@ -1,0 +1,217 @@
+"""Extraction stage: post-processing numeric contracts (mirrors reference
+tests/test_extract.py patterns) and a hermetic end-to-end run over the
+synthetic video reader + oracle detector (the fake backend SURVEY §4 calls
+for)."""
+
+import argparse
+import logging
+
+import numpy as np
+import pytest
+
+from geotrax_tpu.pipeline import postprocess
+
+logger = logging.getLogger("test")
+
+
+# ---------------------------------------------------------------- unit: postprocess
+def make_track_rows(track_id, frames, xy=(100.0, 100.0), wh=(40.0, 20.0),
+                    cls=0, conf=0.9, vxy=(0.0, 0.0)):
+    rows = []
+    for i, f in enumerate(frames):
+        x = xy[0] + vxy[0] * i
+        y = xy[1] + vxy[1] * i
+        rows.append([f, track_id, x, y, wh[0], wh[1], x, y, wh[0], wh[1], cls, conf])
+    return np.array(rows, float)
+
+
+def test_remove_short_tracks():
+    tracks = np.concatenate([
+        make_track_rows(1, range(10)),
+        make_track_rows(2, range(2)),
+    ])
+    out = postprocess.remove_short_tracks(tracks, min_length=3)
+    assert set(out[:, 1]) == {1}
+
+
+def test_class_vote_weighted():
+    t1 = make_track_rows(1, range(3), cls=0, conf=0.3)
+    t1[2, -2], t1[2, -1] = 2, 0.95  # one high-conf 'truck' vote beats two weak 'car'
+    out = postprocess.vote_track_classes(t1)
+    assert (out[:, -2] == 2).all()
+
+
+def test_class_vote_tie_lowest_id():
+    t = make_track_rows(1, range(2), cls=0, conf=0.5)
+    t[1, -2] = 3  # equal weight 0.5 vs 0.5 -> lowest class id wins
+    out = postprocess.vote_track_classes(t)
+    assert (out[:, -2] == 0).all()
+
+
+def test_dimension_estimation_moving_cardinal():
+    """A vehicle moving straight +x (cardinal azimuth) keeps its samples;
+    dims = Q25 of max/min box sides."""
+    tracks = make_track_rows(1, range(20), xy=(200.0, 200.0), wh=(50.0, 22.0),
+                             vxy=(10.0, 0.0))
+    cfg = {"gsd": 0.1, "eps": 4, "r0": 1.0, "theta_bar": 15,
+           "tau_c": {0: 1.83, -1: 1.7}}
+    out = postprocess.estimate_vehicle_dimensions(tracks, cfg, 1000, 1000)
+    assert out.shape[1] == tracks.shape[1] + 2
+    np.testing.assert_allclose(out[:, -2], 50.0)
+    np.testing.assert_allclose(out[:, -1], 22.0)
+
+
+def test_dimension_estimation_diagonal_excluded():
+    """45-degree motion is not within theta_bar of a cardinal: all azimuth
+    samples rejected -> NaN dims (no stationary fallback once azimuth seen)."""
+    tracks = make_track_rows(1, range(20), xy=(200.0, 200.0), wh=(50.0, 22.0),
+                             vxy=(10.0, 10.0))
+    cfg = {"gsd": 0.1, "eps": 4, "r0": 1.0, "theta_bar": 15,
+           "tau_c": {0: 1.83, -1: 1.7}}
+    out = postprocess.estimate_vehicle_dimensions(tracks, cfg, 1000, 1000)
+    assert np.isnan(out[:, -2]).all()
+
+
+def test_dimension_estimation_stationary_fallback():
+    """No motion: the l/w >= tau_c elongation test decides."""
+    elongated = make_track_rows(1, range(5), wh=(50.0, 20.0))   # ratio 2.5 >= 1.83
+    squarish = make_track_rows(2, range(5), xy=(400.0, 400.0), wh=(30.0, 25.0))  # 1.2
+    cfg = {"gsd": 0.1, "eps": 4, "r0": 5.0, "theta_bar": 15,
+           "tau_c": {0: 1.83, -1: 1.7}}
+    out = postprocess.estimate_vehicle_dimensions(
+        np.concatenate([elongated, squarish]), cfg, 1000, 1000
+    )
+    t1 = out[out[:, 1] == 1]
+    t2 = out[out[:, 1] == 2]
+    np.testing.assert_allclose(t1[:, -2], 50.0)
+    assert np.isnan(t2[:, -2]).all()
+
+
+def test_dimension_estimation_visibility_filter():
+    """Rows whose unstabilized box touches the frame edge are excluded from
+    the dimension statistics."""
+    inside = make_track_rows(1, range(5), xy=(500.0, 500.0), wh=(50.0, 20.0))
+    edge = make_track_rows(1, [5, 6], xy=(10.0, 500.0), wh=(50.0, 80.0))
+    cfg = {"gsd": 0.1, "eps": 4, "r0": 50.0, "theta_bar": 15,
+           "tau_c": {0: 1.83, -1: 1.7}}
+    out = postprocess.estimate_vehicle_dimensions(
+        np.concatenate([inside, edge]), cfg, 1000, 1000
+    )
+    np.testing.assert_allclose(out[:, -2], 50.0)  # edge rows (l=80) never counted
+
+
+def test_interpolation_gap_cap():
+    t = make_track_rows(1, [0, 1, 4, 10, 50], vxy=(3.0, 0.0))
+    out = postprocess.interpolate_tracks(t, max_gap=10)
+    assert out.shape[1] == t.shape[1] + 1
+    frames = out[:, 0].astype(int).tolist()
+    # gap 1->4 filled (2,3), 4->10 filled (5..9), 10->50 too wide: untouched
+    assert frames == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 50]
+    interp_flags = out[:, -1].astype(int)
+    assert interp_flags.sum() == 7
+    # linear interpolation of x between frames 1 (x=103) and 4 (x=106)
+    row2 = out[frames.index(2)]
+    assert row2[2] == pytest.approx(104.0)
+
+
+def test_interpolation_no_gaps_noop():
+    t = make_track_rows(1, range(5))
+    out = postprocess.interpolate_tracks(t, max_gap=10)
+    assert len(out) == 5
+    assert (out[:, -1] == 0).all()
+
+
+# ---------------------------------------------------------------- e2e hermetic run
+def run_hermetic_extraction(tmp_path, monkeypatch, stabilize=True, interpolate=False,
+                            drop_frames=()):
+    from geotrax_tpu.io.video import SyntheticVideoReader
+    from geotrax_tpu.models.detector import OracleDetector
+    from geotrax_tpu.pipeline import _extract_impl
+
+    reader = SyntheticVideoReader(width=320, height=240, n_frames=20)
+
+    def boxes_by_frame(idx):
+        if idx in drop_frames:
+            return []
+        return [list(b) + [0.9, 0] for b in reader.boxes_at(idx)]
+
+    detector = OracleDetector(boxes_by_frame)
+    monkeypatch.setattr(_extract_impl, "load_detector", lambda cfg, log: detector)
+    monkeypatch.setattr(
+        _extract_impl, "open_reader", lambda source, start, stop, cfg: reader
+    )
+
+    source = tmp_path / "V_test.mp4"
+    source.write_bytes(b"placeholder")  # never decoded (reader is patched)
+
+    args = argparse.Namespace(
+        source=source, cfg="default", output_folder=None, log_path=None,
+        verbose=False, model=["unused.npz"], class_names=["0=car"], conf=None,
+        classes=None, cut_frame_left=None, cut_frame_right=None,
+        interpolate=interpolate, show=None,
+    )
+    # patch stabilize flag through a config override? simplest: post-load edit
+    if not stabilize:
+        orig = _extract_impl.load_config_all
+
+        def patched(a, lg, needs_model=True):
+            cfg = orig(a, lg, needs_model)
+            cfg["main"]["extraction"]["stabilize"] = False
+            return cfg
+
+        monkeypatch.setattr(_extract_impl, "load_config_all", patched)
+    # avoid resolving the hf:// default model: class names come from CLI, and
+    # detector loading is patched; but load_config_all still resolves the
+    # model path -> point it at a local dummy file.
+    dummy_model = tmp_path / "unused.npz"
+    np.savez(dummy_model, **{"param:none": np.zeros(1)})
+    args.model = [str(dummy_model)]
+
+    _extract_impl.run_extraction(args, logging.getLogger("test-extract"))
+    return source
+
+
+def test_end_to_end_extraction(tmp_path, monkeypatch):
+    source = run_hermetic_extraction(tmp_path, monkeypatch)
+    tracks_file = tmp_path / "results" / "V_test.txt"
+    transf_file = tmp_path / "results" / "V_test_vid_transf.txt"
+    meta_file = tmp_path / "V_test.yaml"
+    assert tracks_file.exists() and transf_file.exists() and meta_file.exists()
+
+    tracks = np.loadtxt(tracks_file, delimiter=",")
+    assert tracks.shape[1] == 14  # stabilized layout
+    ids = set(tracks[:, 1].astype(int))
+    assert ids == {1, 2}  # the two synthetic boxes, stable ids
+    # every frame tracked for both objects
+    for tid in ids:
+        assert len(tracks[tracks[:, 1] == tid]) == 20
+    # dimensions estimated (moving objects, cardinal-ish motion)
+    assert not np.isnan(tracks[:, 12]).all()
+
+    transforms = np.loadtxt(transf_file, delimiter=",")
+    assert transforms.shape == (19, 10)  # one per frame after the reference
+    mats = transforms[:, 1:].reshape(-1, 3, 3)
+    # static synthetic background: homographies near identity (sub-pixel)
+    np.testing.assert_allclose(mats, np.eye(3)[None].repeat(19, 0), atol=0.5)
+
+    import yaml
+
+    meta = yaml.safe_load(meta_file.read_text())
+    assert meta["video"]["frames_processed"] == 20
+    assert meta["config"]["tracker"] == "botsort"
+
+
+def test_end_to_end_without_stabilization(tmp_path, monkeypatch):
+    source = run_hermetic_extraction(tmp_path, monkeypatch, stabilize=False)
+    tracks = np.loadtxt(tmp_path / "results" / "V_test.txt", delimiter=",")
+    assert tracks.shape[1] == 10  # unstabilized layout
+    assert not (tmp_path / "results" / "V_test_vid_transf.txt").exists()
+
+
+def test_end_to_end_with_interpolation(tmp_path, monkeypatch):
+    run_hermetic_extraction(tmp_path, monkeypatch, interpolate=True, drop_frames=(7, 8))
+    tracks = np.loadtxt(tmp_path / "results" / "V_test.txt", delimiter=",")
+    assert tracks.shape[1] == 15  # is_interpolated column present
+    interp = tracks[tracks[:, -1] == 1]
+    assert len(interp) == 4  # 2 objects x 2 dropped frames
+    assert set(interp[:, 0].astype(int)) == {7, 8}
