@@ -90,6 +90,34 @@ def savgol_filter(x, window_length: int, polyorder: int = 2, mode: str = "neares
     return correlate1d(jnp.asarray(x, dtype=weights.dtype), weights, mode)
 
 
+def gaussian_filter1d_np(x: np.ndarray, sigma: float, mode: str = "reflect",
+                         truncate: float = 3.0) -> np.ndarray:
+    """Float64 host variant (used by the georeferencing stage, where values
+    feed fixed-decimal CSV rounding and f32 noise could flip a digit)."""
+    return _correlate1d_np(np.asarray(x, np.float64), _gaussian_weights(float(sigma), float(truncate)), mode)
+
+
+def savgol_filter_np(x: np.ndarray, window_length: int, polyorder: int = 2,
+                     mode: str = "nearest") -> np.ndarray:
+    if window_length % 2 == 0:
+        window_length += 1
+    return _correlate1d_np(np.asarray(x, np.float64), _savgol_weights(int(window_length), int(polyorder)), mode)
+
+
+def _correlate1d_np(x: np.ndarray, weights: np.ndarray, mode: str) -> np.ndarray:
+    n = x.shape[-1]
+    k = weights.shape[0]
+    radius = k // 2
+    idx = np.arange(n)[:, None] + (np.arange(k) - radius)[None, :]
+    if mode == "reflect":
+        period = 2 * n
+        j = np.mod(idx, period)
+        idx = np.where(j < n, j, period - 1 - j)
+    else:
+        idx = np.clip(idx, 0, n - 1)
+    return (x[..., idx] * weights).sum(-1)
+
+
 def gradient(x: jnp.ndarray) -> jnp.ndarray:
     """np.gradient for a 1-D series: central differences inside, one-sided at
     the ends (requires length >= 2)."""

@@ -1,0 +1,296 @@
+"""Georeferencing stage: golden-file parity (the reference's committed
+outputs for the bundled clip) plus unit tests of kinematics, visibility,
+lane assignment, geo-parameter sources, and the homography cache."""
+
+import logging
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geotrax_tpu.pipeline import _georeference_impl as geo
+
+logger = logging.getLogger("test-geo")
+
+FPS = 30000 / 1001  # 4K drone footage, 29.97 fps
+FRAME_SIZE = (2160, 3840)
+
+
+@pytest.fixture(scope="module")
+def golden(golden_dir):
+    df = pd.read_csv(golden_dir / "results-full" / "U_video_cut.csv")
+    tracks = np.loadtxt(golden_dir / "results-full" / "U_video_cut.txt", delimiter=",")
+    h = np.loadtxt(
+        golden_dir / "results-full" / "U_video_cut_geo_transf.txt", delimiter=","
+    ).reshape(3, 3)
+    return df, tracks, h
+
+
+def _chain(golden):
+    """Run the full coordinate chain on the golden tracks; the ortho->geo
+    affine is recovered from the golden CSV itself (the ortho assets are not
+    shipped), which is legitimate: the fit has ~19k rows against 6 dof."""
+    df, tracks, h = golden
+    track_id = tracks[:, 1].astype(int)
+    frame_num = tracks[:, 0].astype(int)
+    ox, oy = geo.apply_homography_np(tracks[:, 6], tracks[:, 7], h)
+    key = {(int(f), int(i)): j for j, (f, i) in enumerate(zip(frame_num, track_id))}
+    sel = np.array([key[(fr, vid)] for vid, fr in zip(df.Vehicle_ID, df.Frame_Number)])
+    a = np.column_stack([ox[sel], oy[sel], np.ones(len(sel))])
+    lngc, *_ = np.linalg.lstsq(a, df.Longitude, rcond=None)
+    latc, *_ = np.linalg.lstsq(a, df.Latitude, rcond=None)
+    # ortho_params layout: (lng0, lat0, dlng, dlat, skew_x, skew_y)
+    ortho_params = (lngc[2], latc[2], lngc[0], latc[1], lngc[1], latc[0])
+    lat, lng = geo.ortho2geo(ox, oy, ortho_params)
+    xl, yl = geo.geo2local(lat, lng, "epsg:4326", "epsg:5186")
+    return track_id, frame_num, ox, oy, lat, lng, xl, yl, sel
+
+
+def test_golden_ortho_coordinates(golden):
+    df, _, _ = golden
+    _, _, ox, oy, *_rest, sel = _chain(golden)
+    np.testing.assert_allclose(ox[sel], df.Ortho_X, atol=0.051)
+    np.testing.assert_allclose(oy[sel], df.Ortho_Y, atol=0.051)
+
+
+def test_golden_local_coordinates(golden):
+    """The in-JAX Krueger series must land within 2 cm of the reference's
+    PROJ output (CSV rounding alone accounts for ~1.5 cm)."""
+    df, _, _ = golden
+    *_, xl, yl, sel = _chain(golden)
+    np.testing.assert_allclose(xl[sel], df.Local_X, atol=0.02)
+    np.testing.assert_allclose(yl[sel], df.Local_Y, atol=0.02)
+
+
+def test_golden_visibility_exact(golden):
+    df, tracks, _ = golden
+    track_id = tracks[:, 1].astype(int)
+    vis = geo.calculate_visibility(track_id, tracks[:, 2:6], FRAME_SIZE, 4)
+    _, frame_num, *_, sel = _chain(golden)
+    np.testing.assert_array_equal(vis[sel].astype(int), df.Visibility)
+
+
+def test_golden_kinematics(golden):
+    """Speed/acceleration parity against the reference's scipy+numpy output;
+    tolerances reflect the golden CSV's 7-decimal lat/lon rounding feeding
+    our reconstruction (exact-input parity is pinned by
+    test_kinematics_from_golden_locals)."""
+    df, tracks, _ = golden
+    track_id, frame_num, *_rest, xl, yl, sel = _chain(golden)
+    vis = geo.calculate_visibility(track_id, tracks[:, 2:6], FRAME_SIZE, 4)
+    speed, accel = geo.compute_kinematics(
+        track_id, frame_num, xl, yl, vis, FPS, "gaussian", 14
+    )
+    gs, ga = df.Vehicle_Speed.to_numpy(), df.Vehicle_Acceleration.to_numpy()
+    assert (np.isnan(speed[sel]) == np.isnan(gs)).all()
+    both = ~np.isnan(gs)
+    assert np.abs(speed[sel][both] - gs[both]).max() < 0.25
+    both_a = ~np.isnan(ga)
+    assert np.abs(accel[sel][both_a] - ga[both_a]).max() < 0.08
+
+
+def test_kinematics_from_golden_locals(golden):
+    """With the reference's own Local coordinates as input, speed matches the
+    golden column to its rounding precision — pins the smoothing, alignment
+    and unit conversions exactly."""
+    df, _, _ = golden
+    for vid in df.Vehicle_ID.unique()[:10]:
+        g = df[df.Vehicle_ID == vid].sort_values("Frame_Number")
+        if len(g) < 20 or (g.Visibility != 1).any():
+            continue
+        if np.nanmean(g.Vehicle_Speed) < 2.0:
+            # near-stationary: the cm rounding of the input coordinates
+            # swamps the true sub-cm motion, so golden vs reconstructed
+            # speeds are both quantization noise here
+            continue
+        speed, accel = geo.compute_kinematics(
+            np.full(len(g), vid), g.Frame_Number.to_numpy(),
+            g.Local_X.to_numpy(), g.Local_Y.to_numpy(),
+            np.ones(len(g), bool), FPS, "gaussian", 14,
+        )
+        gs = g.Vehicle_Speed.to_numpy()
+        both = ~np.isnan(gs)
+        err = np.abs(speed[both] - gs[both])
+        # Inputs here are the golden CSV's cm-rounded Local coordinates, so
+        # the comparison carries reconstruction noise: mean must sit at the
+        # 0.1-rounding scale; the max allows the reflect-boundary halo that
+        # cm noise induces on slow vehicles.
+        assert err.mean() < 0.04
+        assert err.max() < 0.25
+        ga = g.Vehicle_Acceleration.to_numpy()
+        both_a = ~np.isnan(ga)
+        assert np.abs(accel[both_a] - ga[both_a]).max() < 0.03
+
+
+def test_golden_df_formatting_and_filter(golden):
+    """Full df assembly: vehicle set and row count match the golden CSV after
+    the min_traj_length filter."""
+    df, tracks, _ = golden
+    track_id, frame_num, ox, oy, lat, lng, xl, yl, sel = _chain(golden)
+    vis = geo.calculate_visibility(track_id, tracks[:, 2:6], FRAME_SIZE, 4)
+    speed, accel = geo.compute_kinematics(track_id, frame_num, xl, yl, vis, FPS, "gaussian", 14)
+    out = geo.create_and_format_georeferenced_df(
+        track_id, np.array([]), frame_num, ox, oy, xl, yl, lat, lng,
+        (np.full(len(track_id), 5.0), np.full(len(track_id), 2.0)),
+        tracks[:, 10].astype(int), speed, accel, None, None, vis,
+        min_traj_length=15, logger=logger,
+    )
+    assert set(out.Vehicle_ID) == set(df.Vehicle_ID)
+    assert len(out) == len(df)
+
+
+# ---------------------------------------------------------------- unit tests
+def test_kinematics_constant_motion():
+    n = 60
+    track_id = np.ones(n, int)
+    frames = np.arange(n)
+    x = 2.0 * np.arange(n)  # 2 m/frame at 10 fps = 20 m/s = 72 km/h
+    y = np.zeros(n)
+    speed, accel = geo.compute_kinematics(
+        track_id, frames, x, y, np.ones(n, bool), 10.0, "gaussian", 5
+    )
+    assert np.isnan(speed[0])
+    np.testing.assert_allclose(speed[1:], 72.0, atol=1e-6)
+    np.testing.assert_allclose(accel[2:], 0.0, atol=1e-6)
+
+
+def test_kinematics_interpolated_rows_excluded():
+    n = 30
+    track_id = np.ones(n, int)
+    frames = np.arange(n)
+    x = 1.0 * np.arange(n)
+    is_interp = np.zeros(n, int)
+    is_interp[10:20] = 1
+    speed, _ = geo.compute_kinematics(
+        track_id, frames, x, np.zeros(n), np.ones(n, bool), 10.0, "gaussian", 3,
+        is_interpolated=is_interp,
+    )
+    assert np.isnan(speed[10:20]).all()   # interpolated rows carry no speed
+    assert not np.isnan(speed[5])
+    assert not np.isnan(speed[25])
+
+
+def test_kinematics_savgol_branch():
+    n = 40
+    x = 0.5 * np.arange(n) ** 1.5
+    speed, _ = geo.compute_kinematics(
+        np.ones(n, int), np.arange(n), x, np.zeros(n), np.ones(n, bool),
+        10.0, "savgol", 7,
+    )
+    assert np.isfinite(speed[5:]).all()
+
+
+def test_visibility_margins():
+    bbox = np.array([
+        [100.0, 100.0, 20, 20],   # fully inside
+        [8.0, 100.0, 10, 10],     # touches left margin (x - w/2 = 3 < 4)
+        [635.0, 100.0, 12, 10],   # touches right edge (frame w 640)
+    ])
+    vis = geo.calculate_visibility(np.array([1, 2, 3]), bbox, (480, 640), 4)
+    assert vis.tolist() == [True, False, False]
+
+
+def test_lane_assignment_synthetic():
+    seg = pd.DataFrame({
+        "section": ["1_2", "1_2", "3_4"],
+        "lane": [1, 2, 1],
+        "tlx": [0, 0, 100], "tly": [0, 10, 0],
+        "blx": [0, 0, 100], "bly": [10, 20, 50],
+        "brx": [50, 50, 150], "bry": [10, 20, 50],
+        "trx": [50, 50, 150], "try": [0, 10, 0],
+    })
+    ox = np.array([25.0, 25.0, 120.0, 500.0])
+    oy = np.array([5.0, 15.0, 25.0, 500.0])
+    section, lane = geo.assign_road_section_lane(ox, oy, seg)
+    assert section[0] == "1_2" and lane[0] == 1
+    assert section[1] == "1_2" and lane[1] == 2
+    assert section[2] == "3_4" and lane[2] == 1
+    assert section[3] is None and np.isnan(lane[3])
+
+
+def test_ortho_params_text_file(tmp_path):
+    (tmp_path / "U.png").write_bytes(b"")
+    (tmp_path / "U.txt").write_text("# comment\n126.5 37.4 1e-6 -1e-6\n")
+    params = geo.geoassets.get_ortho_parameters(tmp_path, "U", "text-file", None, logger)
+    assert params == (126.5, 37.4, 1e-6, -1e-6, 0.0, 0.0)
+
+
+def test_ortho_params_center_text_file(tmp_path):
+    from PIL import Image
+
+    Image.new("RGB", (1000, 1000)).save(tmp_path / "U.png")
+    (tmp_path / "U_center.txt").write_text("7000 6000\n")
+    (tmp_path / "ortho_parameters.txt").write_text("126.0 38.0 1e-6 -1e-6\n")
+    lng0, lat0, dlng, dlat, sx, sy = geo.geoassets.get_ortho_parameters(
+        tmp_path, "U", "center-text-file", 15000, logger
+    )
+    # anchor = mosaic origin + (center - cutout_width/2) * pixel size
+    assert lng0 == pytest.approx(126.0 + (7000 - 7500) * 1e-6)
+    assert lat0 == pytest.approx(38.0 + (6000 - 7500) * -1e-6)
+    # cutout (15000 px nominal) downscaled to the actual 1000-px png
+    assert dlng == pytest.approx(1e-6 * 15.0)
+
+
+def test_geo_source_autodetect(tmp_path):
+    (tmp_path / "U.png").write_bytes(b"")
+    (tmp_path / "U.txt").write_text("1 2 3 4\n")
+    assert geo.geoassets.get_geo_params_source(None, tmp_path, "U", logger) == "text-file"
+    (tmp_path / "U.txt").unlink()
+    (tmp_path / "U_center.txt").write_text("1 1\n")
+    (tmp_path / "ortho_parameters.txt").write_text("1 2 3 4\n")
+    assert geo.geoassets.get_geo_params_source(None, tmp_path, "U", logger) == "center-text-file"
+
+
+def test_master_homography_cache(tmp_path, monkeypatch):
+    """Cache round trip: first call computes + writes, second call loads,
+    hash mismatch recomputes."""
+    master = np.random.default_rng(0).integers(0, 255, (50, 50, 3), np.uint8)
+    h_fake = np.arange(9, dtype=float).reshape(3, 3) + np.eye(3)
+    calls = {"n": 0}
+
+    def fake_compute(img_src, img_dst, src_dst, lg, **kw):
+        calls["n"] += 1
+        return h_fake, "stats"
+
+    monkeypatch.setattr(geo, "compute_homography", fake_compute)
+    monkeypatch.setattr(
+        geo.geoassets, "get_orthophoto", lambda f, l, lg: np.zeros((10, 10, 3), np.uint8)
+    )
+    (tmp_path / "master_frames").mkdir()
+
+    h1 = geo.get_master_to_ortho_homography(
+        master, tmp_path, None, "U", False, {}, logger
+    )
+    assert calls["n"] == 1
+    np.testing.assert_allclose(h1, h_fake)
+
+    h2 = geo.get_master_to_ortho_homography(master, tmp_path, None, "U", False, {}, logger)
+    assert calls["n"] == 1  # served from cache
+    np.testing.assert_allclose(h2, h_fake)
+
+    # modified master invalidates the cache
+    master2 = master.copy()
+    master2[0, 0] = 0 if master[0, 0, 0] else 255
+    geo.get_master_to_ortho_homography(master2, tmp_path, None, "U", False, {}, logger)
+    assert calls["n"] == 2
+
+
+def test_timestamps_rebase(tmp_path):
+    src = tmp_path / "U_video.mp4"
+    pd.DataFrame({
+        "frame": [5, 6, 7],
+        "timestamp": ["2022-10-07 17:52:13.500", "2022-10-07 17:52:13.533", "2022-10-07 17:52:13.566"],
+    }).to_csv(src.with_suffix(".csv"), index=False)
+    out = geo.get_timestamps(src, np.array([0, 1, 9]), logger)
+    assert out[0] == "2022-10-07 17:52:13.500"
+    assert out[2] == "0000-00-00 00:00:00.000"  # beyond the log
+
+
+def test_tracking_data_requires_stabilized_columns(tmp_path):
+    src = tmp_path / "U.mp4"
+    out = tmp_path / "results"
+    out.mkdir()
+    np.savetxt(out / "U.txt", np.ones((5, 10)), delimiter=",")  # 10 cols only
+    with pytest.raises(SystemExit):
+        geo.get_tracking_data(src, logger)
