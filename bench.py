@@ -1,0 +1,94 @@
+"""End-of-round benchmark: 4K extraction throughput per chip.
+
+Measures the device compute path of the extraction stage on synthetic 4K
+frames: letterbox 3840x2160 -> 1088x1920, YOLOv8s forward (bf16 params +
+activations, f32 accumulation), fixed-shape class-agnostic NMS (max_det
+1000), and a BoT-SORT tracker step — i.e. everything the reference runs per
+frame through ultralytics' model.track() (SURVEY.md §3.2), excluding host
+video decode (no 4K source material ships with the repo; the native decoder
+is benchmarked separately by its tests).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline anchors to the 4K capture rate of the reference deployment
+(29.97 fps, DJI Mavic 3): value/29.97 = multiples of realtime per chip.
+The reference publishes no throughput numbers (BASELINE.md); its GPU
+pipeline ran at or below realtime on 4K.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FPS = 30000 / 1001  # 4K capture realtime
+
+
+def main() -> None:
+    from geotrax_tpu.models import yolov8
+    from geotrax_tpu.ops.nms import postprocess_detections
+    from geotrax_tpu.track import make_tracker
+
+    spec = yolov8.ModelSpec(variant="s", nc=4)
+    params = yolov8.init_params(jax.random.PRNGKey(0), spec)
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+
+    src_h, src_w = 2160, 3840
+    imgsz = 1920
+    out_h, out_w, r, top, left = yolov8.letterbox_shape(src_h, src_w, imgsz)
+    new_h, new_w = round(src_h * r), round(src_w * r)
+    max_det = 1000
+
+    tracker_params = {
+        "track_high_thresh": 0.25, "track_low_thresh": 0.1, "new_track_thresh": 0.25,
+        "track_buffer": 30, "match_thresh": 0.8, "fuse_score": True,
+        "gmc_method": "none",
+    }
+    _, tracker_state, tracker_step = make_tracker("botsort", tracker_params, max_tracks=512)
+
+    @jax.jit
+    def device_step(frame_u8, state, frame_id):
+        img = yolov8.letterbox(frame_u8, out_h, out_w, new_h, new_w, top, left)
+        boxes, probs = yolov8.forward(params, img[None].astype(jnp.bfloat16), spec)
+        det = postprocess_detections(
+            boxes[0].astype(jnp.float32), probs[0].astype(jnp.float32),
+            0.25, 0.7, max_det, agnostic=True,
+        )
+        det_boxes = yolov8.unletterbox_boxes(det["boxes_xywh"], r, top, left)
+        state, out = tracker_step(
+            state, det_boxes, det["scores"], det["classes"], det["valid"], frame_id, None
+        )
+        return state, out
+
+    rng = np.random.default_rng(0)
+    frames = [
+        jnp.asarray(rng.integers(0, 255, (src_h, src_w, 3), np.uint8))
+        for _ in range(4)
+    ]
+
+    # warmup / compile
+    state = tracker_state
+    state, out = device_step(frames[0], state, 1)
+    jax.block_until_ready(out.box_xywh)
+
+    n_iters = 40
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        state, out = device_step(frames[i % len(frames)], state, i + 2)
+    jax.block_until_ready(out.box_xywh)
+    elapsed = time.perf_counter() - t0
+
+    fps = n_iters / elapsed
+    print(json.dumps({
+        "metric": "4k_extract_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

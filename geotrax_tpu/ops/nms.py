@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from geotrax_tpu.ops.boxes import iou_matrix
 
 
-@partial(jax.jit, static_argnames=("max_det",))
+@partial(jax.jit, static_argnames=("max_det", "agnostic"))
 def nms(
     boxes_xyxy: jnp.ndarray,
     scores: jnp.ndarray,
@@ -96,13 +96,22 @@ def postprocess_detections(
     classes = class_scores.argmax(axis=-1)
     scores = jnp.where(scores >= conf_threshold, scores, 0.0)
 
+    # Candidate pre-selection: NMS cost is O(K^2) in candidates; at 1920^2
+    # there are ~43k anchors and the full IoU matrix would be ~7 GB. The
+    # score threshold keeps far fewer than 4*max_det in practice (ultralytics
+    # caps candidates the same way), so top-K first, NMS on K.
+    k = min(4 * max_det, boxes_xywh.shape[0])
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    cand_boxes = boxes_xywh[top_idx]
+    cand_classes = classes[top_idx]
+
     keep, valid = nms(
-        xywh_to_xyxy(boxes_xywh), scores, iou_threshold, max_det,
-        class_ids=classes, agnostic=agnostic,
+        xywh_to_xyxy(cand_boxes), top_scores, iou_threshold, max_det,
+        class_ids=cand_classes, agnostic=agnostic,
     )
     return {
-        "boxes_xywh": jnp.where(valid[:, None], boxes_xywh[keep], 0.0),
-        "scores": jnp.where(valid, scores[keep], 0.0),
-        "classes": jnp.where(valid, classes[keep], -1),
+        "boxes_xywh": jnp.where(valid[:, None], cand_boxes[keep], 0.0),
+        "scores": jnp.where(valid, top_scores[keep], 0.0),
+        "classes": jnp.where(valid, cand_classes[keep], -1),
         "valid": valid,
     }
