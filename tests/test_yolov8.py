@@ -265,3 +265,22 @@ def test_full_convert_roundtrip_torch_model():
     got = forward_features(jax.tree.map(jnp.asarray, params), _to_jax_input(x), spec)
     for g, e in zip(got, expected):
         np.testing.assert_allclose(np.asarray(g), e, atol=5e-4)
+
+
+def test_npz_save_load_roundtrip(tmp_path):
+    """save_npz -> load_model must reproduce the forward exactly (the layers
+    dict is digit-keyed with gaps and must NOT be restored as a list)."""
+    from geotrax_tpu.models.convert import load_model, save_npz
+
+    spec = ModelSpec(variant="n", nc=4)
+    params = init_params(jax.random.PRNGKey(1), spec)
+    path = tmp_path / "m.npz"
+    save_npz(path, params, class_names={0: "car"}, variant="n", nc=4, reg_max=16)
+    params2, spec2, names = load_model(path)
+    assert spec2 == spec
+    assert names == {0: "car"}
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 96, 96, 3)), jnp.float32)
+    b1, p1 = forward(params, x, spec)
+    b2, p2 = forward(jax.tree.map(jnp.asarray, params2), x, spec2)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
