@@ -49,39 +49,53 @@ def main() -> None:
     }
     _, tracker_state, tracker_step = make_tracker("botsort", tracker_params, max_tracks=512)
 
+    chunk = 8  # frames batch-detected per device step; tracking stays sequential
+
     @jax.jit
-    def device_step(frame_u8, state, frame_id):
-        img = yolov8.letterbox(frame_u8, out_h, out_w, new_h, new_w, top, left)
-        boxes, probs = yolov8.forward(params, img[None].astype(jnp.bfloat16), spec)
-        det = postprocess_detections(
-            boxes[0].astype(jnp.float32), probs[0].astype(jnp.float32),
-            0.25, 0.7, max_det, agnostic=True,
+    def device_chunk(key, state, frame_id0):
+        # Frames are synthesized on device from the key: the benchmark must
+        # measure the compute path, not host->device shipping of 200 MB
+        # chunks over the dev tunnel (which also memoizes repeated calls on
+        # identical inputs - a varying key defeats that too).
+        frames_u8 = jax.random.randint(
+            key, (chunk, src_h, src_w, 3), 0, 255, dtype=jnp.uint8
         )
+        imgs = jax.vmap(
+            lambda f: yolov8.letterbox(f, out_h, out_w, new_h, new_w, top, left)
+        )(frames_u8).astype(jnp.bfloat16)
+        boxes, probs = yolov8.forward(params, imgs, spec)
+        det = jax.vmap(
+            lambda b, p: postprocess_detections(
+                b.astype(jnp.float32), p.astype(jnp.float32), 0.25, 0.7, max_det,
+                agnostic=True,
+            )
+        )(boxes, probs)
         det_boxes = yolov8.unletterbox_boxes(det["boxes_xywh"], r, top, left)
-        state, out = tracker_step(
-            state, det_boxes, det["scores"], det["classes"], det["valid"], frame_id, None
+
+        def track_one(state, inp):
+            b, s, c, v, fid = inp
+            state, out = tracker_step(state, b, s, c, v, fid, None)
+            return state, out.valid.sum()
+
+        fids = frame_id0 + jnp.arange(chunk)
+        state, counts = jax.lax.scan(
+            track_one, state,
+            (det_boxes, det["scores"], det["classes"], det["valid"], fids),
         )
-        return state, out
+        return state, counts
 
-    rng = np.random.default_rng(0)
-    frames = [
-        jnp.asarray(rng.integers(0, 255, (src_h, src_w, 3), np.uint8))
-        for _ in range(4)
-    ]
-
-    # warmup / compile
     state = tracker_state
-    state, out = device_step(frames[0], state, 1)
-    jax.block_until_ready(out.box_xywh)
+    state, counts = device_chunk(jax.random.PRNGKey(0), state, 1)
+    jax.block_until_ready(counts)
 
-    n_iters = 40
+    n_chunks = 10
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        state, out = device_step(frames[i % len(frames)], state, i + 2)
-    jax.block_until_ready(out.box_xywh)
+    for i in range(n_chunks):
+        state, counts = device_chunk(jax.random.PRNGKey(i + 1), state, 1 + i * chunk)
+    jax.block_until_ready(counts)
     elapsed = time.perf_counter() - t0
 
-    fps = n_iters / elapsed
+    fps = n_chunks * chunk / elapsed
     print(json.dumps({
         "metric": "4k_extract_frames_per_sec_per_chip",
         "value": round(fps, 2),

@@ -100,62 +100,85 @@ def track_video(args, config: dict, logger) -> tuple:
     t_start = time.time()
     import jax.numpy as jnp
 
+    # Chunked detection: frames are batch-detected in groups (better MXU
+    # utilization than single frames), then tracked/stabilized sequentially.
+    chunk_size = 8 if hasattr(detector, "detect_batch") else 1
+
+    def frame_chunks():
+        buf = []
+        for item in reader:
+            buf.append(item)
+            if len(buf) == chunk_size:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
+
     pbar = tqdm(desc="Extracting", unit="frame")
-    for frame_idx, frame in reader:
+    for chunk in frame_chunks():
         t0 = time.time()
-        det = detector(frame, frame_idx)
-        det_boxes = np.asarray(det["boxes_xywh"])
-        det_valid = np.asarray(det["valid"])
+        if chunk_size > 1 and len(chunk) > 1:
+            stacked = np.stack([f for _, f in chunk])
+            batch_det = detector.detect_batch(stacked)
+            chunk_dets = [
+                {k: v[i] for k, v in batch_det.items()} for i in range(len(chunk))
+            ]
+        else:
+            chunk_dets = [detector(f, idx) for idx, f in chunk]
         detect_ms += (time.time() - t0) * 1000
 
-        # ---- stabilization homography for this frame (also feeds GMC)
-        h_cur = np.eye(3)
-        t0 = time.time()
-        if stabilizer is not None:
-            mask_boxes = det_boxes[det_valid]
-            if frame_idx == cut_left:
-                stabilizer.set_ref_frame(frame, mask_boxes)
-            else:
-                stabilizer.stabilize(frame, mask_boxes)
-                h_est = stabilizer.get_cur_trans_matrix()
-                if h_est is not None:
-                    h_cur = h_est
+        for (frame_idx, frame), det in zip(chunk, chunk_dets):
+            det_boxes = np.asarray(det["boxes_xywh"])
+            det_valid = np.asarray(det["valid"])
+
+            # ---- stabilization homography for this frame (also feeds GMC)
+            h_cur = np.eye(3)
+            t0 = time.time()
+            if stabilizer is not None:
+                mask_boxes = det_boxes[det_valid]
+                if frame_idx == cut_left:
+                    stabilizer.set_ref_frame(frame, mask_boxes)
                 else:
-                    logger.warning(f"Frame {frame_idx}: stabilization failed; identity used.")
-                transforms.append(np.concatenate([[frame_idx], h_cur.reshape(-1)]))
-        stab_ms += (time.time() - t0) * 1000
+                    stabilizer.stabilize(frame, mask_boxes)
+                    h_est = stabilizer.get_cur_trans_matrix()
+                    if h_est is not None:
+                        h_cur = h_est
+                    else:
+                        logger.warning(f"Frame {frame_idx}: stabilization failed; identity used.")
+                    transforms.append(np.concatenate([[frame_idx], h_cur.reshape(-1)]))
+            stab_ms += (time.time() - t0) * 1000
 
-        gmc_h = None
-        if h_prev is not None:
-            gmc_h = jnp.asarray(np.linalg.inv(h_cur) @ h_prev)
-        h_prev = h_cur
+            gmc_h = None
+            if h_prev is not None:
+                gmc_h = jnp.asarray(np.linalg.inv(h_cur) @ h_prev)
+            h_prev = h_cur
 
-        # ---- tracker step (frame ids are 1-based inside the tracker)
-        internal_frame = frame_idx - cut_left + 1
-        tracker_state, out = tracker_step(
-            tracker_state, det["boxes_xywh"], det["scores"], det["classes"],
-            det["valid"], internal_frame, gmc_h,
-        )
-        valid = np.asarray(out.valid)
-        ids = np.asarray(out.track_id)[valid]
-        boxes = np.asarray(out.box_xywh)[valid]
-        scores = np.asarray(out.score)[valid]
-        classes = np.asarray(out.cls)[valid]
+            # ---- tracker step (frame ids are 1-based inside the tracker)
+            internal_frame = frame_idx - cut_left + 1
+            tracker_state, out = tracker_step(
+                tracker_state, det["boxes_xywh"], det["scores"], det["classes"],
+                det["valid"], internal_frame, gmc_h,
+            )
+            valid = np.asarray(out.valid)
+            ids = np.asarray(out.track_id)[valid]
+            boxes = np.asarray(out.box_xywh)[valid]
+            scores = np.asarray(out.score)[valid]
+            classes = np.asarray(out.cls)[valid]
 
-        if stabilize_on:
-            boxes_stab = boxes if frame_idx == cut_left else _transform_boxes(h_cur, boxes)
-            frame_rows = np.column_stack([
-                np.full(len(ids), frame_idx, float), ids.astype(float),
-                boxes, boxes_stab, classes.astype(float), scores,
-            ])
-        else:
-            frame_rows = np.column_stack([
-                np.full(len(ids), frame_idx, float), ids.astype(float),
-                boxes, classes.astype(float), scores,
-            ])
-        rows.append(frame_rows)
-        n_frames += 1
-        pbar.update(1)
+            if stabilize_on:
+                boxes_stab = boxes if frame_idx == cut_left else _transform_boxes(h_cur, boxes)
+                frame_rows = np.column_stack([
+                    np.full(len(ids), frame_idx, float), ids.astype(float),
+                    boxes, boxes_stab, classes.astype(float), scores,
+                ])
+            else:
+                frame_rows = np.column_stack([
+                    np.full(len(ids), frame_idx, float), ids.astype(float),
+                    boxes, classes.astype(float), scores,
+                ])
+            rows.append(frame_rows)
+            n_frames += 1
+            pbar.update(1)
     pbar.close()
 
     elapsed = max(time.time() - t_start, 1e-9)
