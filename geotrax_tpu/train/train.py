@@ -1,0 +1,217 @@
+"""Detector training loop (fine-tuning and from-scratch), mesh-sharded.
+
+CLI:  python -m geotrax_tpu.train --data <dataset_dir> [--model m.pt|.npz]
+                                  [--cfg default] [--epochs N] ...
+
+Replaces the reference's train/train.sh -> ultralytics trainer -> torch DDP
+chain (SURVEY.md §2.7): hyperparameters come from the same config surface
+(cfg ultralytics: lr0, lrf, momentum, weight_decay, warmup_epochs, box/cls/
+dfl gains, epochs, batch, imgsz, patience), the optimizer is SGD with
+momentum + warmup + (optionally cosine) decay, the step is jitted and
+sharded over a ('data','model') mesh, checkpoints are written as native
+.npz (last.npz / best.npz, by val mAP@50), and evaluation reports
+precision / recall / mAP@50 / mAP@50-95.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def build_lr_schedule(lr0: float, lrf: float, warmup_steps: int, total_steps: int,
+                      cos_lr: bool):
+    import optax
+
+    decay = (
+        optax.cosine_decay_schedule(lr0, max(total_steps - warmup_steps, 1), alpha=lrf)
+        if cos_lr else
+        optax.linear_schedule(lr0, lr0 * lrf, max(total_steps - warmup_steps, 1))
+    )
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, lr0, max(warmup_steps, 1)), decay],
+        [max(warmup_steps, 1)],
+    )
+
+
+def evaluate(params, spec, loader, conf=0.001, iou=0.7, max_det=300) -> dict:
+    """Run validation and compute the detection metrics."""
+    import jax
+    import jax.numpy as jnp
+
+    from geotrax_tpu.models import yolov8
+    from geotrax_tpu.ops.nms import postprocess_detections
+    from geotrax_tpu.train.metrics import evaluate_detections
+
+    @jax.jit
+    def infer(p, images):
+        boxes, probs = yolov8.forward(p, images, spec)
+        return jax.vmap(
+            lambda b, pr: postprocess_detections(b, pr, conf, iou, max_det, agnostic=False)
+        )(boxes, probs)
+
+    predictions, ground_truths = [], []
+    for batch in loader.epoch(0):
+        det = infer(params, jnp.asarray(batch["images"]))
+        det = jax.tree.map(np.asarray, det)
+        for i in range(len(batch["images"])):
+            valid = det["valid"][i]
+            predictions.append({
+                "boxes_xywh": det["boxes_xywh"][i][valid],
+                "scores": det["scores"][i][valid],
+                "classes": det["classes"][i][valid],
+            })
+            mask = batch["gt_mask"][i]
+            ground_truths.append({
+                "boxes_xywh": batch["gt_boxes"][i][mask],
+                "classes": batch["gt_cls"][i][mask],
+            })
+    return evaluate_detections(predictions, ground_truths, spec.nc)
+
+
+def train(args, logger=None) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from geotrax_tpu.models import yolov8
+    from geotrax_tpu.models.convert import load_model, save_npz
+    from geotrax_tpu.parallel import make_mesh, shard_batch, shard_params
+    from geotrax_tpu.train.data import Loader
+    from geotrax_tpu.utils.config_utils import load_config
+    from geotrax_tpu.utils.logging_utils import setup_logger
+
+    logger = logger or setup_logger("geotrax.train", args.verbose)
+    hp = load_config(args.cfg, logger).get("ultralytics", {})
+
+    imgsz = int(args.imgsz or hp.get("imgsz", 640))
+    batch = int(args.batch or hp.get("batch", 8))
+    epochs = int(args.epochs or hp.get("epochs", 100))
+    lr0 = float(hp.get("lr0", 0.01))
+    lrf = float(hp.get("lrf", 0.01))
+    momentum = float(hp.get("momentum", 0.937))
+    weight_decay = float(hp.get("weight_decay", 5e-4))
+    warmup_epochs = float(hp.get("warmup_epochs", 3.0))
+    patience = int(hp.get("patience", 50))
+
+    # model: pretrained (converted) or fresh
+    if args.model:
+        params, spec, _names = load_model(Path(args.model))
+        params = jax.tree.map(jnp.asarray, params)
+        logger.info(f"Fine-tuning from '{args.model}' (yolov8{spec.variant}, nc={spec.nc}).")
+    else:
+        spec = yolov8.ModelSpec(variant=args.variant, nc=args.nc)
+        params = yolov8.init_params(jax.random.PRNGKey(int(hp.get("seed", 0) or 0)), spec)
+        logger.info(f"Training yolov8{spec.variant} (nc={spec.nc}) from scratch.")
+
+    train_loader = Loader(args.data, "train", imgsz=imgsz, batch_size=batch,
+                          max_gt=args.max_gt, training=True,
+                          fraction=float(hp.get("fraction", 1.0)))
+    val_loader = Loader(args.data, "val", imgsz=imgsz, batch_size=batch,
+                        max_gt=args.max_gt, training=False)
+
+    steps_per_epoch = len(train_loader)
+    total_steps = steps_per_epoch * epochs
+    schedule = build_lr_schedule(
+        lr0, lrf, int(warmup_epochs * steps_per_epoch), total_steps,
+        bool(hp.get("cos_lr", False)),
+    )
+    tx = optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.sgd(schedule, momentum=momentum, nesterov=True),
+    )
+
+    mesh = make_mesh(args.devices)
+    from geotrax_tpu.models.loss import detection_loss
+
+    box_gain = float(hp.get("box", 7.5))
+    cls_gain = float(hp.get("cls", 0.5))
+    dfl_gain = float(hp.get("dfl", 1.5))
+
+    def step_fn(p, opt_state, b):
+        def loss_fn(pp):
+            return detection_loss(pp, b["images"], b["gt_boxes"], b["gt_cls"],
+                                  b["gt_mask"], spec, box_gain, cls_gain, dfl_gain)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return jax.tree.map(lambda a, u: a + u, p, updates), opt_state, metrics
+
+    step = jax.jit(step_fn, donate_argnums=(0, 1))
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    best_map = -1.0
+    bad_epochs = 0
+    history = []
+
+    with mesh:
+        params = shard_params(params, mesh)
+        opt_state = tx.init(params)
+        for epoch in range(epochs):
+            t0 = time.time()
+            losses = []
+            for batch_np in train_loader.epoch(epoch):
+                b = shard_batch(jax.tree.map(jnp.asarray, batch_np), mesh)
+                params, opt_state, metrics = step(params, opt_state, b)
+                losses.append(float(metrics["loss"]))
+            mean_loss = float(np.mean(losses)) if losses else float("nan")
+
+            val = evaluate(params, spec, val_loader)
+            history.append({"epoch": epoch, "loss": mean_loss, **val})
+            logger.info(
+                f"epoch {epoch + 1}/{epochs}: loss {mean_loss:.4f} "
+                f"mAP50 {val['map50']:.4f} mAP50-95 {val['map50_95']:.4f} "
+                f"({time.time() - t0:.1f}s)"
+            )
+
+            host_params = jax.tree.map(np.asarray, params)
+            save_npz(out_dir / "last.npz", host_params,
+                     class_names={i: str(i) for i in range(spec.nc)},
+                     variant=spec.variant, nc=spec.nc, reg_max=spec.reg_max)
+            if val["map50"] > best_map:
+                best_map = val["map50"]
+                bad_epochs = 0
+                save_npz(out_dir / "best.npz", host_params,
+                         class_names={i: str(i) for i in range(spec.nc)},
+                         variant=spec.variant, nc=spec.nc, reg_max=spec.reg_max)
+            else:
+                bad_epochs += 1
+                if bad_epochs >= patience:
+                    logger.notice(f"Early stop after {patience} stagnant epochs.")
+                    break
+
+    (out_dir / "history.json").write_text(json.dumps(history, indent=2))
+    logger.notice(f"Training done: best mAP@50 {best_map:.4f}; checkpoints in '{out_dir}'.")
+    return {"best_map50": best_map, "history": history}
+
+
+def parse_cli_args():
+    parser = argparse.ArgumentParser(description="Train/fine-tune the JAX YOLOv8 detector")
+    parser.add_argument("--data", type=Path, required=True,
+                        help="Dataset root (images/{train,val} + labels/{train,val})")
+    parser.add_argument("--model", type=str, default=None,
+                        help="Pretrained checkpoint (.pt or .npz); omit to train from scratch")
+    parser.add_argument("--variant", type=str, default="s", choices=list("nsmlx"))
+    parser.add_argument("--nc", type=int, default=4, help="Number of classes")
+    parser.add_argument("--cfg", "-c", type=str, default="default")
+    parser.add_argument("--imgsz", type=int, default=None)
+    parser.add_argument("--batch", type=int, default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--max-gt", type=int, default=64, dest="max_gt")
+    parser.add_argument("--devices", type=int, default=None, help="Mesh device count")
+    parser.add_argument("--out", type=Path, default=Path("runs/train"))
+    parser.add_argument("--verbose", "-v", action="store_true")
+    return parser.parse_args()
+
+
+def main():
+    train(parse_cli_args())
+
+
+if __name__ == "__main__":
+    main()
