@@ -81,6 +81,10 @@ class Stabilizer:
     def _prepare(self, frame: np.ndarray, boxes, n_features: int):
         gray = features.rgb_to_gray(jnp.asarray(frame))
         gray = features.downsample(gray, self.downsample_ratio)
+        if self.clahe:
+            from geotrax_tpu.ops.clahe import clahe as clahe_op
+
+            gray = clahe_op(gray)
         mask = None
         if self.mask_use and boxes is not None and len(boxes):
             scaled = jnp.asarray(boxes, jnp.float32) * self.downsample_ratio

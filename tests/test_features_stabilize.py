@@ -145,3 +145,41 @@ def test_identity_when_same_frame():
     assert h is not None
     err = corner_error(h, np.eye(3), img.shape[1], img.shape[0])
     assert err < 0.5
+
+
+# ---------------------------------------------------------------- CLAHE
+def test_clahe_against_cv2():
+    cv2 = pytest.importorskip("cv2")
+    from geotrax_tpu.ops.clahe import clahe
+
+    img = textured_image(h=256, w=256, seed=9)[..., 0]
+    ours = np.asarray(clahe(jnp.asarray(img), tiles=8, clip_limit=2.0))
+    ref = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8)).apply(img)
+    # implementations differ in interpolation details; require strong
+    # agreement in the interior (correlation + bounded mean error)
+    inner_o = ours[16:-16, 16:-16].ravel()
+    inner_r = ref[16:-16, 16:-16].astype(np.float32).ravel()
+    corr = np.corrcoef(inner_o, inner_r)[0, 1]
+    assert corr > 0.98, f"corr {corr:.3f}"
+    assert np.abs(inner_o - inner_r).mean() < 12.0
+
+
+def test_clahe_increases_local_contrast():
+    from geotrax_tpu.ops.clahe import clahe
+
+    rng = np.random.default_rng(3)
+    low_contrast = (rng.normal(128, 6, (128, 128))).clip(0, 255).astype(np.uint8)
+    out = np.asarray(clahe(jnp.asarray(low_contrast)))
+    assert out.std() > low_contrast.std() * 2
+    assert 0 <= out.min() and out.max() <= 255
+
+
+def test_stabilizer_clahe_path_runs():
+    img = textured_image(seed=11)
+    stab = Stabilizer(downsample_ratio=1.0, max_features=600, clahe=True)
+    stab.set_ref_frame(img)
+    stab.stabilize(img)
+    h = stab.get_cur_trans_matrix()
+    assert h is not None
+    err = corner_error(h, np.eye(3), img.shape[1], img.shape[0])
+    assert err < 1.0
