@@ -192,6 +192,61 @@ def describe(gray: jnp.ndarray, kps: Keypoints, n_tests: int = 256) -> jnp.ndarr
     return (vals[..., 0] < vals[..., 1]).astype(jnp.float32)
 
 
+def detect_and_describe_pyramid(
+    gray: jnp.ndarray,
+    max_features: int,
+    n_levels: int = 4,
+    scale: float = 1.25,
+    threshold: float = 20.0,
+    mask: jnp.ndarray | None = None,
+) -> tuple[Keypoints, jnp.ndarray]:
+    """Multi-scale detection + description over an image pyramid.
+
+    The per-frame stabilization match is same-scale (1 level suffices), but
+    the master-frame -> orthophoto registration crosses a real scale gap
+    (reference handles it with SIFT's scale space); a 4-level 1.25x pyramid
+    covers ~2.4x relative scale. The feature budget is split evenly across
+    levels; keypoint coordinates are mapped back to level-0 pixels, and the
+    final set is the global top-``max_features`` by score.
+    """
+    per_level = max(max_features // n_levels, 32)
+    all_xy, all_score, all_angle, all_valid, all_desc = [], [], [], [], []
+    current = gray
+    level_scale = 1.0
+    for level in range(n_levels):
+        level_mask = None
+        if mask is not None:
+            level_mask = (
+                mask if level == 0
+                else jax.image.resize(
+                    mask.astype(jnp.float32), current.shape, method="nearest"
+                ) > 0.5
+            )
+        kps = fast_detect(current, per_level, threshold=threshold, mask=level_mask)
+        desc = describe(current, kps)
+        all_xy.append(kps.xy * level_scale)
+        all_score.append(kps.score)
+        all_angle.append(kps.angle)
+        all_valid.append(kps.valid)
+        all_desc.append(desc)
+        if level + 1 < n_levels:
+            h, w = current.shape
+            current = jax.image.resize(
+                current, (int(h / scale), int(w / scale)), method="linear"
+            )
+            level_scale *= scale
+
+    xy = jnp.concatenate(all_xy)
+    score = jnp.where(jnp.concatenate(all_valid), jnp.concatenate(all_score), 0.0)
+    angle = jnp.concatenate(all_angle)
+    desc = jnp.concatenate(all_desc)
+    top_scores, idx = jax.lax.top_k(score, min(max_features, score.shape[0]))
+    return (
+        Keypoints(xy=xy[idx], score=top_scores, angle=angle[idx], valid=top_scores > 0),
+        desc[idx],
+    )
+
+
 class Matches(NamedTuple):
     idx_a: jnp.ndarray   # (M,) indices into A's keypoints
     idx_b: jnp.ndarray   # (M,)

@@ -65,6 +65,11 @@ class Stabilizer:
         self.mask_margin_ratio = float(mask_margin_ratio)
         self.clahe = bool(clahe)
         self.detector_name = detector_name
+        # Scale-space depth by detector family: the SIFT-class detectors of
+        # the reference are scale-invariant (used for the cross-scale
+        # master->ortho registration); the ORB-class per-frame stabilization
+        # is same-scale and runs single-level for speed.
+        self.n_levels = 4 if detector_name in ("sift", "rsift", "kaze", "akaze") else 1
         self.min_match_warning = min_good_match_count_warning
         self.min_inlier_warning = min_inliers_match_count_warning
 
@@ -89,6 +94,10 @@ class Stabilizer:
         if self.mask_use and boxes is not None and len(boxes):
             scaled = jnp.asarray(boxes, jnp.float32) * self.downsample_ratio
             mask = features.boxes_mask(gray.shape, scaled, self.mask_margin_ratio)
+        if self.n_levels > 1:
+            return features.detect_and_describe_pyramid(
+                gray, n_features, n_levels=self.n_levels, mask=mask
+            )
         kps = features.fast_detect(gray, n_features, mask=mask)
         desc = features.describe(gray, kps)
         return kps, desc

@@ -183,3 +183,38 @@ def test_stabilizer_clahe_path_runs():
     assert h is not None
     err = corner_error(h, np.eye(3), img.shape[1], img.shape[0])
     assert err < 1.0
+
+
+# ---------------------------------------------------------------- multi-scale
+def test_pyramid_recovers_large_scale_change():
+    """A 1.8x zoom defeats single-level matching but the rsift-class
+    pyramid path recovers it (the master->ortho registration scenario)."""
+    img = textured_image(h=480, w=640, seed=21)
+    h_true = np.diag([1.8, 1.8, 1.0])
+    h_true[:2, 2] = [-250.0, -180.0]
+    warped = np.asarray(warp_perspective(jnp.asarray(img), jnp.asarray(h_true), 480, 640))
+
+    stab = Stabilizer(downsample_ratio=1.0, max_features=2000,
+                      detector_name="rsift", ransac_epipolar_threshold=3.0)
+    stab.set_ref_frame(warped)
+    stab.stabilize(img)
+    h_est = stab.get_cur_trans_matrix()
+    assert h_est is not None
+    # evaluate only over the region that survives the zoom crop
+    corners = jnp.asarray([[60.0, 60.0], [280.0, 60.0], [280.0, 200.0], [60.0, 200.0]])
+    from geotrax_tpu.ops.homography import apply_homography
+    a = np.asarray(apply_homography(jnp.asarray(h_est), corners[None])[0])
+    b = np.asarray(apply_homography(jnp.asarray(h_true), corners[None])[0])
+    err = np.linalg.norm(a - b, axis=1).max()
+    assert err < 4.0, f"scale-change registration error {err:.2f}px"
+
+
+def test_pyramid_keypoint_budget():
+    from geotrax_tpu.ops.features import detect_and_describe_pyramid
+
+    img = textured_image(seed=22)
+    gray = features.rgb_to_gray(jnp.asarray(img))
+    kps, desc = detect_and_describe_pyramid(gray, 512, n_levels=3)
+    assert kps.xy.shape[0] <= 512
+    assert desc.shape[0] == kps.xy.shape[0]
+    assert int(kps.valid.sum()) > 100
