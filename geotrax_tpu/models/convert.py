@@ -168,12 +168,12 @@ def load_model(model_path: Path):
     raise ValueError(f"Unsupported model format: {model_path}")
 
 
-def _restore_lists(node, depth: int = 0):
+def _restore_lists(node):
     """Convert {'0': ..., '1': ...} dicts (from npz flattening) back to lists.
 
-    Only dicts whose keys are exactly the contiguous range 0..n-1 at depth > 1
-    become lists — the top-level 'layers' dict is also all-digit-keyed
-    ('0'..'22') but with gaps (no layer 10/11/13/...), and must stay a dict.
+    Only dicts whose digit keys form the exact contiguous range 0..n-1 become
+    lists; the YOLOv8 'layers' dict is also all-digit-keyed ('0'..'22') but
+    has gaps (no layer 10/11/13/...), so it stays a dict.
     """
     if isinstance(node, dict):
         keys = list(node.keys())
@@ -181,11 +181,10 @@ def _restore_lists(node, depth: int = 0):
             keys
             and all(k.isdigit() for k in keys)
             and sorted(int(k) for k in keys) == list(range(len(keys)))
-            and depth > 1
         )
         if contiguous:
-            return [_restore_lists(node[str(i)], depth + 1) for i in range(len(keys))]
-        return {k: _restore_lists(v, depth + 1) for k, v in node.items()}
+            return [_restore_lists(node[str(i)]) for i in range(len(keys))]
+        return {k: _restore_lists(v) for k, v in node.items()}
     return node
 
 

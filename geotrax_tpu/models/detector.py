@@ -20,9 +20,17 @@ from geotrax_tpu.ops.nms import postprocess_detections
 
 
 class Detector:
+    """Dispatches on the model reference like the reference's load_detector
+    (extract.py:222-225): names containing 'rtdetr' build the DETR-class
+    NMS-free runtime, everything else the YOLOv8 + NMS path."""
+
     def __init__(self, model_path: Path, detect_cfg: dict, logger=None):
         from geotrax_tpu.models.convert import load_model
 
+        self.is_rtdetr = "rtdetr" in str(model_path).lower()
+        if self.is_rtdetr:
+            self._init_rtdetr(Path(model_path), detect_cfg, logger)
+            return
         self.params, self.spec, self.class_names = load_model(model_path)
         self.imgsz = int(detect_cfg.get("imgsz", 1920) or 1920)
         self.conf = float(detect_cfg.get("conf", 0.25) or 0.25)
@@ -43,8 +51,71 @@ class Detector:
                 f"imgsz={self.imgsz} conf={self.conf} iou={self.iou} max_det={self.max_det}"
             )
 
+    def _init_rtdetr(self, model_path: Path, detect_cfg: dict, logger):
+        from geotrax_tpu.models import rtdetr
+        from geotrax_tpu.models.convert import load_npz
+
+        if model_path.suffix == ".pt":
+            raise NotImplementedError(
+                "torch RT-DETR checkpoints are not convertible yet; train or "
+                "export a native .npz with geotrax_tpu.models.rtdetr."
+            )
+        raw, meta = load_npz(model_path)
+        self.spec = rtdetr.RTDETRSpec(
+            variant=str(meta.get("variant", "s")),
+            nc=int(meta.get("nc", 4)),
+            hidden=int(meta.get("hidden", 256)),
+            num_queries=int(meta.get("num_queries", 300)),
+            num_decoder_layers=int(meta.get("num_decoder_layers", 4)),
+            num_heads=int(meta.get("num_heads", 8)),
+            num_points=int(meta.get("num_points", 4)),
+        )
+        from geotrax_tpu.models.convert import _restore_lists
+
+        self.params = _restore_lists(raw)
+        self.class_names = meta.get("class_names")
+        self.imgsz = int(detect_cfg.get("imgsz", 1920) or 1920)
+        self.conf = float(detect_cfg.get("conf", 0.25) or 0.25)
+        self.max_det = int(detect_cfg.get("max_det", 1000) or 1000)
+        self._fn = {}
+        self._geom = {}
+        if logger:
+            logger.info(f"Detector: rtdetr-{self.spec.variant} nc={self.spec.nc} (NMS-free)")
+
+    def _rtdetr_pipeline(self, src_h: int, src_w: int):
+        key = (src_h, src_w)
+        if key in self._fn:
+            return self._fn[key]
+        from geotrax_tpu.models import rtdetr
+
+        out_h, out_w, r, top, left = yolov8.letterbox_shape(src_h, src_w, self.imgsz)
+        new_h, new_w = round(src_h * r), round(src_w * r)
+        spec, params, conf = self.spec, self.params, self.conf
+
+        @jax.jit
+        def run(frame_u8):
+            img = yolov8.letterbox(frame_u8, out_h, out_w, new_h, new_w, top, left)
+            boxes, probs = rtdetr.forward(params, img[None], spec)
+            scores = probs[0].max(-1)
+            classes = probs[0].argmax(-1)
+            k = min(self.max_det, scores.shape[0])
+            top_scores, idx = jax.lax.top_k(scores, k)
+            pad = self.max_det - k
+            det_boxes = yolov8.unletterbox_boxes(boxes[0][idx], r, top, left)
+            return {
+                "boxes_xywh": jnp.pad(det_boxes, ((0, pad), (0, 0))),
+                "scores": jnp.pad(top_scores, (0, pad)),
+                "classes": jnp.pad(classes[idx], (0, pad), constant_values=-1),
+                "valid": jnp.pad(top_scores >= conf, (0, pad)),
+            }
+
+        self._fn[key] = run
+        return run
+
     def _pipeline(self, src_h: int, src_w: int):
         """Build (and cache) the jitted end-to-end function for a resolution."""
+        if self.is_rtdetr:
+            return self._rtdetr_pipeline(src_h, src_w), None
         key = (src_h, src_w)
         if key in self._fn:
             return self._fn[key], self._geom[key]
