@@ -216,7 +216,15 @@ def run_extraction(args, logger) -> None:
     })
     out_cfg = {**main["output"], "folder": args.output_folder}
 
-    tracks, transforms, stats = track_video(args, config, logger)
+    profile_dir = getattr(args, "profile", None)
+    if profile_dir:
+        import jax
+
+        logger.notice(f"Profiling the extraction loop into '{profile_dir}'.")
+        with jax.profiler.trace(str(profile_dir)):
+            tracks, transforms, stats = track_video(args, config, logger)
+    else:
+        tracks, transforms, stats = track_video(args, config, logger)
 
     # ---- post-processing (reference extract.py:296-306 order)
     tracks = postprocess.remove_short_tracks(

@@ -41,6 +41,9 @@ def add_processing_args(group) -> None:
                        help="Stop after this frame (cfg -> processing -> cut_frame_right).")
     group.add_argument("--interpolate", action=argparse.BooleanOptionalAction, default=None,
                        help="Fill per-track frame gaps by linear interpolation (adds is_interpolated column).")
+    group.add_argument("--profile", type=str, default=None, metavar="DIR",
+                       help="Capture a JAX profiler trace of the extraction hot loop into DIR "
+                            "(open with TensorBoard / xprof).")
 
 
 def detect_track_stabilize(args: argparse.Namespace, logger) -> None:
