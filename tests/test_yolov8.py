@@ -284,3 +284,19 @@ def test_npz_save_load_roundtrip(tmp_path):
     b2, p2 = forward(jax.tree.map(jnp.asarray, params2), x, spec2)
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+
+
+def test_stem_s2d_exactness():
+    """The space-to-depth stem must equal the plain strided conv to float
+    rounding."""
+    from geotrax_tpu.models.yolov8 import conv_block, stem_conv_s2d
+
+    rng = np.random.default_rng(7)
+    p = {
+        "w": jnp.asarray(rng.normal(scale=0.1, size=(3, 3, 3, 16)), jnp.float32),
+        "b": jnp.asarray(rng.normal(size=(16,)), jnp.float32),
+    }
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 96, 3)), jnp.float32)
+    ref = conv_block(p, x, stride=2)
+    got = stem_conv_s2d(p, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
