@@ -184,3 +184,35 @@ def test_find_source_id(tmp_path):
                       "2022-10-07", "U", "PM5", "4")
     assert result.returncode == 0, result.stderr
     assert "U_y" in result.stdout and "original id 1" in result.stdout
+
+
+def test_viz_dimension_estimation(tmp_path):
+    rows = []
+    for t in range(30):
+        x = 500.0 + 50 * t  # fast +x motion (cardinal)
+        rows.append([t, 3, x, 500, 60, 25, x, 500, 60, 25, 0, 0.9, 60, 25])
+    path = tmp_path / "V.txt"
+    np.savetxt(path, np.array(rows), fmt="%g", delimiter=",")
+    result = run_tool("viz_dimension_estimation.py", path, "--id", "3",
+                      "--frame-size", "3840", "2160")
+    assert result.returncode == 0, result.stderr
+    assert (tmp_path / "V_dim_track3.pdf").exists()
+
+
+def test_compare_av_detections(tmp_path):
+    fps = 10.0
+    frames = np.arange(60)
+    x = 170000 + 2.0 * frames  # 2 m/frame at 10fps = 72 km/h
+    pipeline = pd.DataFrame({
+        "Vehicle_ID": 7, "Frame_Number": frames,
+        "Local_X": x + np.random.default_rng(0).normal(0, 0.02, 60),
+        "Local_Y": 532000.0, "Vehicle_Speed": 72.0,
+    })
+    pipeline.to_csv(tmp_path / "p.csv", index=False)
+    pd.DataFrame({"frame": frames, "x": x, "y": 532000.0, "speed_kmh": 72.0}).to_csv(
+        tmp_path / "gt.csv", index=False)
+    result = run_tool("compare_av_detections_and_tune_filters.py",
+                      tmp_path / "p.csv", tmp_path / "gt.csv", "--fps", "10")
+    assert result.returncode == 0, result.stderr
+    assert "Vehicle_ID 7" in result.stdout
+    assert "Best: filter_type=" in result.stdout
