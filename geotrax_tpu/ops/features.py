@@ -61,19 +61,24 @@ def downsample(gray: jnp.ndarray, ratio: float) -> jnp.ndarray:
 def boxes_mask(shape: tuple, boxes_xywh, margin_ratio: float = 0.15) -> jnp.ndarray:
     """(H,W) bool mask that is False inside each (cx,cy,w,h) box inflated by
     ``margin_ratio`` — the stabilizer's moving-object exclusion
-    (reference cfg stabilo.mask_use/mask_margin_ratio)."""
+    (reference cfg stabilo.mask_use/mask_margin_ratio). Zero-width rows are
+    ignored, so fixed-slot padded box arrays work directly. Accumulated one
+    box at a time (O(H*W) memory; the broadcast form is O(H*W*N))."""
     h, w = shape
-    ys = jnp.arange(h)[:, None, None].astype(jnp.float32)
-    xs = jnp.arange(w)[None, :, None].astype(jnp.float32)
-    cx, cy = boxes_xywh[:, 0], boxes_xywh[:, 1]
-    bw = boxes_xywh[:, 2] * (1 + margin_ratio)
-    bh = boxes_xywh[:, 3] * (1 + margin_ratio)
-    inside = (
-        (xs >= cx - bw / 2) & (xs <= cx + bw / 2)
-        & (ys >= cy - bh / 2) & (ys <= cy + bh / 2)
-        & (boxes_xywh[:, 2] > 0)[None, None, :]
-    )
-    return ~jnp.any(inside, axis=-1)
+    ys = jnp.arange(h)[:, None].astype(jnp.float32)
+    xs = jnp.arange(w)[None, :].astype(jnp.float32)
+
+    def add_box(inside, box):
+        cx, cy, bw, bh = box[0], box[1], box[2] * (1 + margin_ratio), box[3] * (1 + margin_ratio)
+        hit = (
+            (xs >= cx - bw / 2) & (xs <= cx + bw / 2)
+            & (ys >= cy - bh / 2) & (ys <= cy + bh / 2)
+            & (box[2] > 0)
+        )
+        return jnp.logical_or(inside, hit), None
+
+    inside, _ = jax.lax.scan(add_box, jnp.zeros((h, w), bool), jnp.asarray(boxes_xywh))
+    return ~inside
 
 
 def _shift(img, dx, dy):

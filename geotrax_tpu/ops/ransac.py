@@ -69,6 +69,9 @@ def ransac_fit(
     fit_fn = fit_homography if transformation == "projective" else fit_affine
 
     weights = valid.astype(jnp.float32)
+    # degenerate case (no valid correspondences): sample uniformly so the
+    # fused pipeline stays NaN-free; callers gate on the match count.
+    weights = jnp.where(weights.sum() > 0, weights, jnp.ones_like(weights))
     weights = weights / jnp.maximum(weights.sum(), 1.0)
 
     idx = _sample_indices(key, num_hypotheses, sample_size, n, weights)  # (H,S)

@@ -121,11 +121,15 @@ def track_video(args, config: dict, logger) -> tuple:
     for chunk in frame_chunks():
         t0 = time.time()
         if chunk_size > 1 and len(chunk) > 1:
-            stacked = np.stack([f for _, f in chunk])
+            # Upload the chunk once; detector and stabilizer share the
+            # device-resident frames (a 4K frame is 24 MB — shipping it
+            # twice per frame would dominate the frame budget).
+            stacked = jnp.asarray(np.stack([f for _, f in chunk]))
             batch_det = detector.detect_batch(stacked)
             chunk_dets = [
                 {k: v[i] for k, v in batch_det.items()} for i in range(len(chunk))
             ]
+            chunk = [(idx, stacked[i]) for i, (idx, _f) in enumerate(chunk)]
         else:
             chunk_dets = [detector(f, idx) for idx, f in chunk]
         detect_ms += (time.time() - t0) * 1000

@@ -81,6 +81,8 @@ class Stabilizer:
         self._cur_counts = (0, 0)
         self._cur_matches = 0
         self._cur_inliers = 0
+        self._fused = None        # jitted per-frame pipeline (single-level path)
+        self.mask_slots = 256     # fixed box-mask capacity for the fused path
 
     # ------------------------------------------------------------------ internals
     def _prepare(self, frame: np.ndarray, boxes, n_features: int):
@@ -108,43 +110,103 @@ class Stabilizer:
         ref_multiplier budget)."""
         self._ref = self._prepare(frame, boxes, self.ref_features)
 
+    def _build_fused(self, frame_shape):
+        """One jitted function for the whole per-frame pipeline (gray ->
+        features -> match -> RANSAC): a single device dispatch per frame
+        instead of four round trips."""
+        ratio = self.downsample_ratio
+        n_features = self.max_features
+        filter_ratio = self.filter_ratio
+        threshold = self.ransac_threshold
+        num_hyps = self.num_hypotheses
+        transformation = (
+            "projective" if self.transformation_type == "projective" else "affine"
+        )
+        use_clahe = self.clahe
+        use_mask = self.mask_use
+        margin = self.mask_margin_ratio
+
+        @jax.jit
+        def fused(frame_u8, boxes_padded, ref_xy, ref_desc, ref_valid, key):
+            gray = features.rgb_to_gray(frame_u8)
+            gray = features.downsample(gray, ratio)
+            if use_clahe:
+                from geotrax_tpu.ops.clahe import clahe as clahe_op
+
+                gray = clahe_op(gray)
+            mask = (
+                features.boxes_mask(gray.shape, boxes_padded * ratio, margin)
+                if use_mask else None
+            )
+            kps = features.fast_detect(gray, n_features, mask=mask)
+            desc = features.describe(gray, kps)
+            matches = features.match_descriptors(
+                desc, kps.valid, ref_desc, ref_valid, ratio=filter_ratio
+            )
+            src = kps.xy[matches.idx_a]
+            dst = ref_xy[matches.idx_b]
+            result = ransac_fit(
+                src, dst, matches.valid, threshold=threshold, key=key,
+                num_hypotheses=num_hyps, transformation=transformation,
+            )
+            return (result.h_matrix, result.num_inliers,
+                    matches.valid.sum(), kps.valid.sum())
+
+        return fused
+
     def stabilize(self, frame: np.ndarray, boxes=None) -> None:
         """Estimate the cur->ref homography for this frame."""
         if self._ref is None:
             raise RuntimeError("set_ref_frame must be called before stabilize")
         self._cur_boxes = None if boxes is None else np.asarray(boxes, np.float32)
-        kps, desc = self._prepare(frame, boxes, self.max_features)
         ref_kps, ref_desc = self._ref
-        self._cur_counts = (int(ref_kps.valid.sum()), int(kps.valid.sum()))
-
-        matches = features.match_descriptors(
-            desc, kps.valid, ref_desc, ref_kps.valid, ratio=self.filter_ratio
-        )
-        n_matches = int(matches.valid.sum())
-        self._cur_matches = n_matches
-        if n_matches < 4:
-            self._cur_h = None
-            self._cur_inliers = 0
-            self._cur_boxes_ref = None
-            return
-
-        src = kps.xy[matches.idx_a]
-        dst = ref_kps.xy[matches.idx_b]
         self._key, sub = jax.random.split(self._key)
-        result = ransac_fit(
-            src, dst, matches.valid,
-            threshold=self.ransac_threshold,  # in working (downsampled) px, like stabilo
-            key=sub,
-            num_hypotheses=self.num_hypotheses,
-            transformation="projective" if self.transformation_type == "projective" else "affine",
-        )
-        self._cur_inliers = int(result.num_inliers)
+
+        if self.n_levels == 1:
+            if self._fused is None:
+                self._fused = self._build_fused(frame.shape)
+            padded = np.zeros((self.mask_slots, 4), np.float32)
+            if self._cur_boxes is not None and len(self._cur_boxes):
+                n = min(len(self._cur_boxes), self.mask_slots)
+                padded[:n] = self._cur_boxes[:n, :4]
+            h_ds, n_inliers, n_matches, n_kps = self._fused(
+                jnp.asarray(frame), jnp.asarray(padded),
+                ref_kps.xy, ref_desc, ref_kps.valid, sub,
+            )
+            self._cur_counts = (int(ref_kps.valid.sum()), int(n_kps))
+            self._cur_matches = int(n_matches)
+            if self._cur_matches < 4:
+                self._cur_h = None
+                self._cur_inliers = 0
+                self._cur_boxes_ref = None
+                return
+            self._cur_inliers = int(n_inliers)
+            result_h = np.asarray(h_ds)
+        else:
+            kps, desc = self._prepare(frame, boxes, self.max_features)
+            self._cur_counts = (int(ref_kps.valid.sum()), int(kps.valid.sum()))
+            matches = features.match_descriptors(
+                desc, kps.valid, ref_desc, ref_kps.valid, ratio=self.filter_ratio
+            )
+            self._cur_matches = int(matches.valid.sum())
+            if self._cur_matches < 4:
+                self._cur_h = None
+                self._cur_inliers = 0
+                self._cur_boxes_ref = None
+                return
+            result = ransac_fit(
+                kps.xy[matches.idx_a], ref_kps.xy[matches.idx_b], matches.valid,
+                threshold=self.ransac_threshold, key=sub,
+                num_hypotheses=self.num_hypotheses,
+                transformation="projective" if self.transformation_type == "projective" else "affine",
+            )
+            self._cur_inliers = int(result.num_inliers)
+            result_h = np.asarray(result.h_matrix)
 
         # Undo the downsampling: H_full = S^-1 · H_ds · S  (S = scale matrix).
         s = self.downsample_ratio
         scale = np.diag([s, s, 1.0]).astype(np.float32)
-        h_ds = np.asarray(result.h_matrix)
-        h_full = np.linalg.inv(scale) @ h_ds @ scale
+        h_full = np.linalg.inv(scale) @ result_h @ scale
         self._cur_h = h_full / h_full[2, 2]
 
         if self._cur_boxes is not None and len(self._cur_boxes):
