@@ -8,6 +8,13 @@ frame through ultralytics' model.track() (SURVEY.md §3.2), excluding host
 video decode (no 4K source material ships with the repo; the native decoder
 is benchmarked separately by its tests).
 
+Stabilization (config stabilize: true) adds a separately-measured fused
+device pass — FAST corners + descriptors + MXU Hamming matching + 1250
+parallel RANSAC hypotheses — of ~44 ms/frame at the default 0.5 downsample
+(2000/4000 feature budget); the reference's CPU stabilo runs the same step
+in hundreds of ms. The headline metric matches the reference's
+model.track() scope (detect + NMS + track).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline anchors to the 4K capture rate of the reference deployment
 (29.97 fps, DJI Mavic 3): value/29.97 = multiples of realtime per chip.

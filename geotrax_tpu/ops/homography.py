@@ -81,12 +81,43 @@ def fit_homography(src: jnp.ndarray, dst: jnp.ndarray,
         a = a * jnp.sqrt(jnp.maximum(w, 0.0))
 
     # Smallest right singular vector of A (SVD avoids squaring the condition
-    # number the way an eigh of AᵀA would — matters in f32). full_matrices is
-    # required: with the minimal 4-point sample A is 8x9 and the nullspace
-    # vector is the 9th right singular vector, absent from the thin V.
+    # number the way an eigh of AᵀA would — matters in f32). full_matrices
+    # only when the minimal 4-point sample makes A 8x9 (the nullspace vector
+    # is then the 9th right singular vector, absent from the thin V); for
+    # N-point least-squares fits the thin SVD suffices and the full U would
+    # be a catastrophic (2N,2N) allocation.
     with jax.default_matmul_precision("highest"):
-        _, _, vt = jnp.linalg.svd(a, full_matrices=True)
+        _, _, vt = jnp.linalg.svd(a, full_matrices=a.shape[-2] < 9)
         h_norm = vt[..., -1, :].reshape(src.shape[:-2] + (3, 3))
+        h = jnp.linalg.inv(t_dst) @ h_norm @ t_src
+    return normalize_h(h)
+
+
+def fit_homography_minimal(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Exact 4-point homography via an 8x8 solve with h33 fixed to 1.
+
+    ~100x cheaper than the batched SVD path for RANSAC's thousands of
+    minimal-sample hypotheses; only h33≈0 configurations are unrepresentable
+    (wildly non-affine warps — such hypotheses would score as outliers
+    anyway). Normalization keeps the solve conditioned.
+    """
+    t_src = _normalization_transform(src)
+    t_dst = _normalization_transform(dst)
+    s = apply_homography(t_src, src)
+    d = apply_homography(t_dst, dst)
+    x, y = s[..., 0], s[..., 1]
+    u, v = d[..., 0], d[..., 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    row1 = jnp.stack([x, y, one, zero, zero, zero, -u * x, -u * y], axis=-1)
+    row2 = jnp.stack([zero, zero, zero, x, y, one, -v * x, -v * y], axis=-1)
+    a = jnp.concatenate([row1, row2], axis=-2)           # (..., 8, 8)
+    rhs = jnp.concatenate([u, v], axis=-1)[..., None]    # (..., 8, 1)
+    with jax.default_matmul_precision("highest"):
+        sol = jnp.linalg.solve(a, rhs)[..., 0]
+        h_norm = jnp.concatenate(
+            [sol, jnp.ones(sol.shape[:-1] + (1,), sol.dtype)], axis=-1
+        ).reshape(src.shape[:-2] + (3, 3))
         h = jnp.linalg.inv(t_dst) @ h_norm @ t_src
     return normalize_h(h)
 

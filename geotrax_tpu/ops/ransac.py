@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from geotrax_tpu.ops.homography import (
     fit_affine,
     fit_homography,
+    fit_homography_minimal,
     normalize_h,
     reprojection_error,
 )
@@ -66,6 +67,8 @@ def ransac_fit(
     """
     n = src.shape[0]
     sample_size = 4 if transformation == "projective" else 3
+    # minimal samples: cheap exact 8x8 solve; refinement: weighted SVD DLT
+    hyp_fit = fit_homography_minimal if transformation == "projective" else fit_affine
     fit_fn = fit_homography if transformation == "projective" else fit_affine
 
     weights = valid.astype(jnp.float32)
@@ -78,10 +81,14 @@ def ransac_fit(
     src_samples = src[idx]  # (H,S,2)
     dst_samples = dst[idx]
 
-    hyps = jax.vmap(fit_fn)(src_samples, dst_samples)  # (H,3,3)
+    hyps = jax.vmap(hyp_fit)(src_samples, dst_samples)  # (H,3,3)
 
     # Score every hypothesis against every correspondence in one batch.
+    # Degenerate minimal samples make the 8x8 solve return NaN/Inf — treat
+    # those as infinite error so the hypothesis scores zero instead of
+    # poisoning the argmax.
     errors = jax.vmap(lambda h: reprojection_error(h, src, dst))(hyps)  # (H,N)
+    errors = jnp.where(jnp.isfinite(errors), errors, jnp.inf)
     errors = jnp.where(valid[None, :], errors, jnp.inf)
     # Soft (sigma-marginalized flavor) score: smooth step over the threshold.
     soft = jnp.maximum(0.0, 1.0 - (errors / threshold) ** 2)
@@ -92,11 +99,13 @@ def ransac_fit(
     # Local optimization: IRLS refit on soft inliers of the incumbent model.
     def refine(h, _):
         err = reprojection_error(h, src, dst)
+        err = jnp.where(jnp.isfinite(err), err, jnp.inf)
         w = jnp.where(valid, jnp.maximum(0.0, 1.0 - (err / threshold) ** 2), 0.0)
         h_new = fit_fn(src, dst, weights=w)
         # keep the better of (h, h_new) by soft score
         def score_of(hm):
             e = jnp.where(valid, reprojection_error(hm, src, dst), jnp.inf)
+            e = jnp.where(jnp.isfinite(e), e, jnp.inf)
             return jnp.maximum(0.0, 1.0 - (e / threshold) ** 2).sum()
         better = score_of(h_new) >= score_of(h)
         return jnp.where(better, h_new, h), None

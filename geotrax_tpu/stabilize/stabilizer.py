@@ -60,7 +60,11 @@ class Stabilizer:
         self.filter_ratio = float(filter_ratio)
         self.transformation_type = transformation_type
         self.ransac_threshold = float(ransac_epipolar_threshold)
-        self.num_hypotheses = int(min(max(ransac_max_iter, 512), 4096))
+        # Parallel hypotheses replace sequential RANSAC iterations; with the
+        # IRLS polish each hypothesis does more work than one classic
+        # iteration, so iterations/4 (floored at 512) matches the configured
+        # confidence budget at a quarter of the batch cost.
+        self.num_hypotheses = int(min(max(ransac_max_iter // 4, 512), 4096))
         self.mask_use = bool(mask_use)
         self.mask_margin_ratio = float(mask_margin_ratio)
         self.clahe = bool(clahe)
