@@ -108,26 +108,29 @@ def fast_detect(gray: jnp.ndarray, max_features: int, threshold: float = 20.0,
     """FAST-9/16 corners with contiguity test + Harris-style score, 3x3 NMS,
     and top-``max_features`` selection."""
     h, w = gray.shape
-    center = gray
-    ring = jnp.stack([_shift(gray, int(dx), int(dy)) for dx, dy in _CIRCLE])  # (16,H,W)
+    if jax.devices()[0].platform in ("tpu", "axon"):
+        from geotrax_tpu.ops.pallas_fast import fast_score_map
 
-    brighter = ring > center[None] + threshold
-    darker = ring < center[None] - threshold
+        score = fast_score_map(gray, threshold)
+    else:
+        center = gray
+        ring = jnp.stack([_shift(gray, int(dx), int(dy)) for dx, dy in _CIRCLE])
 
-    def has_run9(bits):  # (16,H,W) bool -> a 9-long circular run exists
-        # Binary doubling of the AND-window: run(1)=bits; run(2k)=run(k) AND
-        # roll(run(k), k); run(9) = run(8) AND roll(run(1), 8). 4 fused
-        # elementwise steps instead of a 32-step sequential scan.
-        run = bits
-        for shift in (1, 2, 4):
-            run = jnp.logical_and(run, jnp.roll(run, -shift, axis=0))
-        run9 = jnp.logical_and(run, jnp.roll(bits, -8, axis=0))
-        return jnp.any(run9, axis=0)
+        brighter = ring > center[None] + threshold
+        darker = ring < center[None] - threshold
 
-    is_corner = has_run9(brighter) | has_run9(darker)
+        def has_run9(bits):  # (16,H,W) bool -> a 9-long circular run exists
+            # Binary doubling of the AND-window: run(1)=bits; run(2k)=run(k)
+            # AND roll(run(k), k); run(9) = run(8) AND roll(run(1), 8).
+            run = bits
+            for shift in (1, 2, 4):
+                run = jnp.logical_and(run, jnp.roll(run, -shift, axis=0))
+            run9 = jnp.logical_and(run, jnp.roll(bits, -8, axis=0))
+            return jnp.any(run9, axis=0)
 
-    # Score: summed absolute ring difference (FAST score flavor).
-    score = jnp.sum(jnp.abs(ring - center[None]), axis=0) * is_corner
+        is_corner = has_run9(brighter) | has_run9(darker)
+        # Score: summed absolute ring difference (FAST score flavor).
+        score = jnp.sum(jnp.abs(ring - center[None]), axis=0) * is_corner
 
     # Exclude borders and masked (vehicle) regions.
     border = 16

@@ -1,0 +1,154 @@
+"""FAST corner scoring as a Pallas TPU kernel.
+
+The XLA formulation of the FAST-9/16 test materializes 16 shifted copies of
+the image (16 x 8 MB of HBM traffic at 1080p); this kernel streams the image
+through VMEM once in row bands with a 3-px halo (manual double-buffer-style
+HBM->VMEM DMA, since BlockSpec tiling cannot express overlapping halos),
+evaluates all 16 ring comparisons as static in-tile slices on the VPU, and
+writes the corner score map — one HBM read + one write total.
+
+The caller-side wrapper pads the image so row bands and the lane dimension
+are tile-aligned; tests pin numerical parity against the roll-based JAX
+reference in interpreter mode, and the stabilizer uses the kernel
+automatically on TPU backends.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Bresenham circle radius-3, clockwise from 12 o'clock: (dx, dy)
+CIRCLE = (
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+)
+RADIUS = 3
+PADX = 64         # column halo: VMEM widths must be 128-aligned, so 64/side
+PADY = 4          # row halo padded to 4: DMA slice heights must be 8-aligned
+TILE_H = 32
+
+
+def _make_kernel(out_w: int):
+    def kernel(thresh_ref, dxs_ref, dys_ref, hbm_ref, out_ref):
+        i = pl.program_id(0)  # read outside run_scoped (interpret-mode discharge)
+
+        def body(tile, ring_buf, sem):
+            copy = pltpu.make_async_copy(
+                hbm_ref.at[pl.ds(i * TILE_H, TILE_H + 2 * PADY), :], tile, sem
+            )
+            copy.start()
+            copy.wait()
+
+            threshold = thresh_ref[0, 0]
+            center = tile[PADY:PADY + TILE_H, PADX:PADX + out_w]
+            hi = center + threshold
+            lo = center - threshold
+
+            # Materialize the 16 ring shifts once into a VMEM ring buffer
+            # (static unaligned slices lower to lane rotations); the circular
+            # run-length walk then runs in fori_loops with aligned dynamic
+            # first-dim reads, so Mosaic reuses the loop-body temporaries
+            # instead of stacking 144 shifted copies.
+            for k, (dx, dy) in enumerate(CIRCLE):
+                ring_buf[k] = tile[PADY + dy:PADY + dy + TILE_H,
+                                   PADX + dx:PADX + dx + out_w]
+
+            # loop carries are f32 indicator masks: Mosaic cannot legalize
+            # scf.for with vector<i1> carries
+            def outer(start, carry):
+                is_corner, score = carry
+                r0 = ring_buf[start]
+                score = score + jnp.abs(r0 - center)
+
+                def inner(j, acc):
+                    acc_b, acc_d = acc
+                    r = ring_buf[jnp.mod(start + j, 16)]
+                    return (acc_b * (r > hi).astype(jnp.float32),
+                            acc_d * (r < lo).astype(jnp.float32))
+
+                acc_b, acc_d = jax.lax.fori_loop(
+                    1, 9, inner,
+                    ((r0 > hi).astype(jnp.float32), (r0 < lo).astype(jnp.float32)),
+                )
+                is_corner = jnp.maximum(is_corner, jnp.maximum(acc_b, acc_d))
+                return is_corner, score
+
+            is_corner, score = jax.lax.fori_loop(
+                0, 16, outer,
+                (jnp.zeros_like(center), jnp.zeros_like(center)),
+            )
+            out_ref[:] = jnp.where(is_corner > 0, score, 0.0)
+
+        pl.run_scoped(
+            body,
+            tile=pltpu.VMEM((TILE_H + 2 * PADY, out_w + 2 * PADX), jnp.float32),
+            ring_buf=pltpu.VMEM((16, TILE_H, out_w), jnp.float32),
+            sem=pltpu.SemaphoreType.DMA,
+        )
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fast_score_map(gray: jnp.ndarray, threshold: float = 20.0,
+                   interpret: bool = False) -> jnp.ndarray:
+    """(H,W) -> (H,W) float32 FAST corner score map (0 where not a corner)."""
+    h, w = gray.shape
+    pad_h = (-h) % TILE_H
+    pad_w = (-w) % 128
+    padded = jnp.pad(
+        gray.astype(jnp.float32),
+        ((PADY, PADY + pad_h), (PADX, PADX + pad_w)),
+    )
+    out_w = w + pad_w
+    n_bands = (h + pad_h) // TILE_H
+
+    score = pl.pallas_call(
+        _make_kernel(out_w),
+        grid=(n_bands,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((TILE_H, out_w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_bands * TILE_H, out_w), jnp.float32),
+        interpret=interpret,
+    )(
+        jnp.full((1, 1), threshold, jnp.float32),
+        jnp.asarray([[c[0] for c in CIRCLE]], jnp.int32),
+        jnp.asarray([[c[1] for c in CIRCLE]], jnp.int32),
+        padded,
+    )
+    return score[:h, :w]
+
+
+def fast_score_map_reference(gray: jnp.ndarray, threshold: float = 20.0) -> jnp.ndarray:
+    """Pure-JAX roll-based formulation (parity oracle; zero-padded borders to
+    match the kernel's semantics)."""
+    center = gray.astype(jnp.float32)
+    h, w = center.shape
+    padded = jnp.pad(center, RADIUS)
+    ring = jnp.stack([
+        padded[RADIUS + dy:RADIUS + dy + h, RADIUS + dx:RADIUS + dx + w]
+        for dx, dy in CIRCLE
+    ])
+    brighter = ring > center[None] + threshold
+    darker = ring < center[None] - threshold
+
+    def has_run9(bits):
+        run = bits
+        for shift in (1, 2, 4):
+            run = jnp.logical_and(run, jnp.roll(run, -shift, axis=0))
+        run9 = jnp.logical_and(run, jnp.roll(bits, -8, axis=0))
+        return jnp.any(run9, axis=0)
+
+    is_corner = has_run9(brighter) | has_run9(darker)
+    score = jnp.sum(jnp.abs(ring - center[None]), axis=0)
+    return jnp.where(is_corner, score, 0.0)

@@ -218,3 +218,16 @@ def test_pyramid_keypoint_budget():
     assert kps.xy.shape[0] <= 512
     assert desc.shape[0] == kps.xy.shape[0]
     assert int(kps.valid.sum()) > 100
+
+
+# ---------------------------------------------------------------- pallas FAST
+def test_pallas_fast_kernel_parity():
+    """The Pallas FAST-score kernel must match the roll-based JAX reference
+    exactly (interpreter mode on CPU; the TPU path runs the same kernel)."""
+    from geotrax_tpu.ops.pallas_fast import fast_score_map, fast_score_map_reference
+
+    img = textured_image(h=300, w=420, seed=13)[..., 0].astype(np.float32)
+    ref = np.asarray(fast_score_map_reference(jnp.asarray(img), 20.0))
+    got = np.asarray(fast_score_map(jnp.asarray(img), 20.0, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+    assert (ref > 0).sum() > 100  # the image actually has corners
