@@ -294,3 +294,81 @@ def test_tracking_data_requires_stabilized_columns(tmp_path):
     np.savetxt(out / "U.txt", np.ones((5, 10)), delimiter=",")  # 10 cols only
     with pytest.raises(SystemExit):
         geo.get_tracking_data(src, logger)
+
+
+@pytest.mark.slow
+def test_run_georeferencing_end_to_end(tmp_path):
+    """Stage-level e2e: real video file + synthetic ortho assets (the ortho
+    IS the reference frame, so registration is near-identity) -> 17-col CSV
+    + geo homography, exercising the full run_georeferencing flow."""
+    cv2 = pytest.importorskip("cv2")
+    import argparse
+
+    import yaml
+
+    from geotrax_tpu.utils.config_utils import CFG_DIR
+
+    rng = np.random.default_rng(5)
+    h, w, n = 240, 320, 25
+    bg = rng.integers(40, 90, (h, w)).astype(np.uint8)
+    for _ in range(80):
+        y, x = rng.integers(0, h - 12), rng.integers(0, w - 12)
+        bg[y:y + rng.integers(4, 12), x:x + rng.integers(4, 12)] = rng.integers(120, 255)
+    source = tmp_path / "U_geo.mp4"
+    writer = cv2.VideoWriter(str(source), cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+    for _ in range(n):
+        writer.write(np.stack([bg] * 3, -1))
+    writer.release()
+
+    # flight log + tracks (one moving vehicle, stabilized == unstabilized)
+    pd.DataFrame({
+        "frame": range(n),
+        "timestamp": [f"2022-10-07 17:52:{13 + i // 30:02d}.{(i % 30) * 33:03d}" for i in range(n)],
+    }).to_csv(source.with_suffix(".csv"), index=False)
+    results = tmp_path / "results"
+    results.mkdir()
+    rows = [[t, 1, 60 + 3 * t, 120, 30, 14, 60 + 3 * t, 120, 30, 14, 0, 0.9, 30, 13]
+            for t in range(n)]
+    np.savetxt(results / "U_geo.txt", np.array(rows), fmt="%g", delimiter=",")
+
+    # ortho assets: the ortho IS the (reference) frame
+    ortho = tmp_path / "ortho"
+    ortho.mkdir()
+    from PIL import Image
+
+    Image.fromarray(np.stack([bg] * 3, -1)).save(ortho / "U.png")
+    (ortho / "U.txt").write_text("126.66 37.39 1e-6 -1e-6\n")
+    seg = tmp_path / "seg"
+    seg.mkdir()
+    (seg / "U.csv").write_text(
+        "section,lane,tlx,tly,blx,bly,brx,bry,trx,try\n1_2,1,0,100,0,140,320,140,320,100\n"
+    )
+
+    # small feature budget so registration runs quickly on CPU
+    cfg = yaml.safe_load((CFG_DIR / "default.yaml").read_text())
+    cfg["georef"]["matching"]["max_features"] = 1500
+    cfg["georef"]["filtering"]["min_traj_length"] = 5
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.dump(cfg))
+
+    args = argparse.Namespace(
+        source=source, cfg=str(cfg_path), output_folder=None, log_path=None,
+        verbose=False, ortho_folder=ortho, geo_source=None, ref_frame=None,
+        no_master=True, master_folder=None, recompute=None,
+        segmentation_folder=seg,
+    )
+    geo.run_georeferencing(args, logger)
+
+    df = pd.read_csv(results / "U_geo.csv")
+    assert set(df.Vehicle_ID) == {1}
+    assert len(df) == n
+    # near-identity registration: ortho coords track the stabilized centers
+    np.testing.assert_allclose(df.Ortho_X, [60 + 3 * t for t in range(n)], atol=3.0)
+    # affine geo params applied
+    assert abs(df.Longitude.iloc[0] - (126.66 + 60e-6)) < 2e-5
+    # lane polygon hit (y=120 inside [100,140])
+    assert (df.Lane_Number.astype(str) == "1").all()
+    assert (df.Road_Section == "1_2").all()
+    # speed present after the smoothing chain
+    assert df.Vehicle_Speed.notna().sum() > n / 2
+    assert (results / "U_geo_geo_transf.txt").exists()

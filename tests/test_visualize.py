@@ -180,7 +180,7 @@ def test_read_georeferenced_timestamp_reconstruction(tmp_path):
 
 
 # ---------------------------------------------------------------- e2e render
-@pytest.mark.parametrize("mode", [0, 1, 3])
+@pytest.mark.parametrize("mode", [0, 1, 2, 3, 4])
 def test_end_to_end_render(tmp_path, mode):
     cv2 = pytest.importorskip("cv2")
     source = tmp_path / "V_clip.mp4"
