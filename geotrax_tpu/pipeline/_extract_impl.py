@@ -103,7 +103,7 @@ def track_video(args, config: dict, logger) -> tuple:
     # Chunked detection: frames are batch-detected in groups (better MXU
     # utilization than single frames), then tracked/stabilized sequentially.
     chunk_size = (
-        8 if hasattr(detector, "detect_batch") and not getattr(detector, "is_rtdetr", False)
+        16 if hasattr(detector, "detect_batch") and not getattr(detector, "is_rtdetr", False)
         else 1
     )
 
