@@ -117,6 +117,8 @@ def track_video(args, config: dict, logger) -> tuple:
         if buf:
             yield buf
 
+    class_names = main.get("class_names") or {}
+    class_counts: dict = {}
     pbar = tqdm(desc="Extracting", unit="frame")
     for chunk in frame_chunks():
         t0 = time.time()
@@ -185,6 +187,16 @@ def track_video(args, config: dict, logger) -> tuple:
                 ])
             rows.append(frame_rows)
             n_frames += 1
+            # live per-class unique-track counts + stage timings in the
+            # progress bar (reference extract.py:253-270 UI parity)
+            for tid, c in zip(ids, classes):
+                class_counts.setdefault(int(c), set()).add(int(tid))
+            postfix = {
+                str(class_names.get(c, c)): len(s) for c, s in sorted(class_counts.items())
+            }
+            postfix["det ms"] = f"{detect_ms / max(n_frames, 1):.0f}"
+            postfix["stab ms"] = f"{stab_ms / max(n_frames, 1):.0f}"
+            pbar.set_postfix(postfix, refresh=False)
             pbar.update(1)
     pbar.close()
 
