@@ -40,9 +40,17 @@ class Detector:
         classes = detect_cfg.get("classes")
         self.class_mask = None
         if classes is not None:
-            mask = np.zeros((self.spec.nc,), bool)
-            mask[np.asarray(classes, int)] = True
-            self.class_mask = jnp.asarray(mask)
+            ids = np.asarray(classes, int)
+            in_range = ids[(ids >= 0) & (ids < self.spec.nc)]
+            if logger and len(in_range) < len(ids):
+                logger.warning(
+                    f"Class filter {sorted(set(ids.tolist()) - set(in_range.tolist()))} "
+                    f"outside model range (nc={self.spec.nc}); ignored."
+                )
+            if len(in_range) and len(in_range) < self.spec.nc:
+                mask = np.zeros((self.spec.nc,), bool)
+                mask[in_range] = True
+                self.class_mask = jnp.asarray(mask)
         self._geom = {}
         self._fn = {}
         if logger:

@@ -94,10 +94,41 @@ def _make_kernel(out_w: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("interpret",))
 def fast_score_map(gray: jnp.ndarray, threshold: float = 20.0,
                    interpret: bool = False) -> jnp.ndarray:
-    """(H,W) -> (H,W) float32 FAST corner score map (0 where not a corner)."""
+    """(H,W) -> (H,W) float32 FAST corner score map (0 where not a corner).
+
+    vmap-safe: Mosaic cannot lower a batched ANY-memory-space BlockSpec, so
+    under vmap the kernel runs per batch element via a custom_vmap/lax.map
+    rule (one dispatch, sequential bands — the kernel is bandwidth-bound and
+    a batch dim would not speed it up anyway)."""
+    if interpret:
+        return _fast_score_map_impl(gray, jnp.float32(threshold), interpret=True)
+    return _fast_score_map_vmappable(gray, jnp.asarray(threshold, jnp.float32))
+
+
+@jax.custom_batching.custom_vmap
+def _fast_score_map_vmappable(gray: jnp.ndarray, threshold: jnp.ndarray) -> jnp.ndarray:
+    return _fast_score_map_impl(gray, threshold, interpret=False)
+
+
+@_fast_score_map_vmappable.def_vmap
+def _fast_score_map_vmap_rule(axis_size, in_batched, gray, threshold):
+    gray_b, thr_b = in_batched
+    if not gray_b:
+        gray = jnp.broadcast_to(gray, (axis_size,) + gray.shape)
+    if not thr_b:
+        threshold = jnp.broadcast_to(threshold, (axis_size,) + jnp.shape(threshold))
+    out = jax.lax.map(
+        lambda args: _fast_score_map_impl(args[0], args[1], interpret=False),
+        (gray, threshold),
+    )
+    return out, True
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _fast_score_map_impl(gray: jnp.ndarray, threshold: jnp.ndarray,
+                         interpret: bool = False) -> jnp.ndarray:
     h, w = gray.shape
     pad_h = (-h) % TILE_H
     pad_w = (-w) % 128

@@ -1,0 +1,268 @@
+"""Parallel multi-video extraction: V videos advance in lockstep on device.
+
+The reference processes videos strictly one after another
+(SURVEY.md §2.6, batch_process.py:249-253 — multi-threading is only a
+*planned* enhancement there). Here a group of same-resolution videos shares
+every device step:
+
+  decode (per-video host prefetch threads)
+    -> one batched detection call        (V*T frames per dispatch)
+    -> one vmapped stabilization call    (V frames per dispatch: the fused
+       feature/match/RANSAC pipeline is a pure function of per-video state)
+    -> vmapped tracker steps             (V slot-state timelines)
+
+Per-video outputs are identical in format to the sequential path and are
+post-processed/saved with the same code. `geotrax batch --parallel-videos N`
+routes extraction through this module; georeferencing/visualization/plots
+remain per-video.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+from tqdm import tqdm
+
+
+class BatchStabilizer:
+    """V independent Stabilizer pipelines fused into one vmapped dispatch.
+
+    Shares one compiled function across the group; per-video reference
+    features and RANSAC keys are carried as batch dimensions.
+    """
+
+    def __init__(self, num_videos: int, stabilo_cfg: dict):
+        from geotrax_tpu.stabilize import Stabilizer
+
+        self.num_videos = num_videos
+        # one prototype supplies config + the fused builder; per-video state
+        # lives in the batched arrays below
+        self.proto = Stabilizer(**stabilo_cfg)
+        if self.proto.n_levels != 1:
+            raise ValueError("BatchStabilizer supports the single-level (orb-class) path")
+        self._vfused = None
+        self._ref = None     # batched (xy, desc, valid)
+        self._keys = None
+
+    def set_ref_frames(self, frames, boxes_per_video):
+        """frames: (V,H,W,3); boxes_per_video: list of (Ni,4) arrays."""
+        import jax
+        import jax.numpy as jnp
+
+        xs, descs, valids = [], [], []
+        for v in range(self.num_videos):
+            kps, desc = self.proto._prepare(
+                np.asarray(frames[v]), boxes_per_video[v], self.proto.ref_features
+            )
+            xs.append(kps.xy)
+            descs.append(desc)
+            valids.append(kps.valid)
+        self._ref = (jnp.stack(xs), jnp.stack(descs), jnp.stack(valids))
+        self._keys = jax.random.split(jax.random.PRNGKey(0), self.num_videos)
+
+        fused = self.proto._build_fused(frames[0].shape)
+        self._vfused = jax.jit(jax.vmap(fused))
+
+    def stabilize_batch(self, frames, det_boxes_padded, video_idx=None):
+        """frames (L,H,W,3); det_boxes_padded (L, mask_slots, 4);
+        video_idx: which of the V videos each batch row belongs to (defaults
+        to all of them — used when the group goes ragged and only a subset
+        of videos is still alive) ->
+        (h_matrices (L,3,3) np, inliers (L,), matches (L,))."""
+        import jax
+        import jax.numpy as jnp
+
+        if video_idx is None:
+            video_idx = list(range(self.num_videos))
+        idx = np.asarray(video_idx)
+        ref_xy, ref_desc, ref_valid = (a[idx] for a in self._ref)
+        new_keys = jax.vmap(lambda k: jax.random.split(k)[0])(self._keys[idx])
+        self._keys = self._keys.at[idx].set(new_keys)
+        h_ds, inliers, matches, _kps = self._vfused(
+            jnp.asarray(frames), jnp.asarray(det_boxes_padded),
+            ref_xy, ref_desc, ref_valid, new_keys,
+        )
+        s = self.proto.downsample_ratio
+        scale = np.diag([s, s, 1.0])
+        inv_scale = np.linalg.inv(scale)
+        h_full = np.einsum("ij,vjk,kl->vil", inv_scale, np.asarray(h_ds), scale)
+        matches = np.asarray(matches)
+        inliers = np.asarray(inliers)
+        # per-video failure fallback, mirroring Stabilizer.stabilize: too few
+        # matches or a degenerate H -> identity (caller logs via inliers=0)
+        denom = h_full[:, 2, 2]
+        ok = (
+            (matches >= 4)
+            & np.isfinite(h_full).all(axis=(1, 2))
+            & (np.abs(denom) > 1e-12)
+        )
+        h_full = np.where(
+            ok[:, None, None],
+            h_full / np.where(ok, denom, 1.0)[:, None, None],
+            np.eye(3)[None],
+        )
+        return h_full, np.where(ok, inliers, 0), matches
+
+
+def extract_videos_batch(sources: list, args, config: dict, logger) -> None:
+    """Run extraction for a group of same-resolution videos in lockstep."""
+    import jax.numpy as jnp
+
+    from geotrax_tpu.pipeline import _extract_impl as impl
+    from geotrax_tpu.pipeline import postprocess
+    from geotrax_tpu.track import make_tracker
+
+    main = config["main"]
+    stabilize_on = bool(main["extraction"].get("stabilize", True))
+    detector = impl.load_detector(config, logger)
+    max_det = int(config["ultralytics"].get("max_det", 1000) or 1000)
+
+    cut_left = int(args.cut_frame_left or 0)
+    cut_right = args.cut_frame_right
+    readers = [impl.open_reader(s, cut_left, cut_right, config) for s in sources]
+    iters = [iter(r) for r in readers]
+    num_videos = len(sources)
+
+    trackers = []
+    for _ in range(num_videos):
+        _, state, step = make_tracker(
+            main["tracker_active"], main["tracker_params"],
+            max_tracks=max(256, min(max_det, 1024)),
+        )
+        trackers.append({"state": state, "step": step})
+
+    stab = None
+    mask_slots = 256
+    if stabilize_on:
+        stab = BatchStabilizer(num_videos, config.get("stabilo", {}))
+
+    rows = [[] for _ in range(num_videos)]
+    transforms = [[] for _ in range(num_videos)]
+    h_prev = [np.eye(3) for _ in range(num_videos)]
+    alive = [True] * num_videos
+    frame_idx = cut_left
+    n_frames = [0] * num_videos
+    t_start = time.time()
+    first = True
+
+    pbar = tqdm(desc=f"Extracting {num_videos} videos", unit="frame-group")
+    while any(alive):
+        frames = []
+        live_idx = []
+        for v in range(num_videos):
+            if not alive[v]:
+                continue
+            try:
+                idx, frame = next(iters[v])
+                assert idx == frame_idx, f"video {v} desynchronized"
+                frames.append(frame)
+                live_idx.append(v)
+            except StopIteration:
+                alive[v] = False
+        if not live_idx:
+            break
+
+        # the group may go ragged (videos of unequal length): keep lockstep
+        # over the surviving subset — vmap retraces once per new batch size
+        stacked = jnp.asarray(np.stack(frames))
+        det = detector.detect_batch(stacked)
+        det_np = {k: np.asarray(v) for k, v in det.items()}
+
+        h_cur = {v: np.eye(3) for v in live_idx}
+        if stab is not None:
+            padded = np.zeros((len(live_idx), mask_slots, 4), np.float32)
+            for p in range(len(live_idx)):
+                boxes_v = det_np["boxes_xywh"][p][det_np["valid"][p]]
+                n = min(len(boxes_v), mask_slots)
+                padded[p, :n] = boxes_v[:n, :4]
+            if first:
+                if len(live_idx) < num_videos:
+                    # a video with zero frames: the ref-feature batch would be
+                    # misaligned — let the caller fall back to sequential
+                    raise RuntimeError("video group ragged at the first frame")
+                stab.set_ref_frames(
+                    np.asarray(stacked),
+                    [padded[p][padded[p, :, 2] > 0] for p in range(len(live_idx))],
+                )
+            else:
+                h_arr, inliers, _ = stab.stabilize_batch(stacked, padded, live_idx)
+                for p, v in enumerate(live_idx):
+                    h_cur[v] = h_arr[p]
+                    transforms[v].append(
+                        np.concatenate([[frame_idx], h_arr[p].reshape(-1)])
+                    )
+
+        internal_frame = frame_idx - cut_left + 1
+        for p, v in enumerate(live_idx):
+            gmc = None
+            if not first:
+                try:
+                    gmc = jnp.asarray(np.linalg.inv(h_cur[v]) @ h_prev[v])
+                except np.linalg.LinAlgError:
+                    logger.warning(
+                        f"Frame {frame_idx}, video {v}: singular stabilization H; GMC skipped."
+                    )
+            h_prev[v] = h_cur[v]
+            trackers[v]["state"], out = trackers[v]["step"](
+                trackers[v]["state"],
+                det["boxes_xywh"][p], det["scores"][p], det["classes"][p],
+                det["valid"][p], internal_frame, gmc,
+            )
+            valid = np.asarray(out.valid)
+            ids = np.asarray(out.track_id)[valid]
+            boxes = np.asarray(out.box_xywh)[valid]
+            scores = np.asarray(out.score)[valid]
+            classes = np.asarray(out.cls)[valid]
+            if stabilize_on:
+                boxes_stab = boxes if first else impl._transform_boxes(h_cur[v], boxes)
+                rows[v].append(np.column_stack([
+                    np.full(len(ids), frame_idx, float), ids.astype(float),
+                    boxes, boxes_stab, classes.astype(float), scores,
+                ]))
+            else:
+                rows[v].append(np.column_stack([
+                    np.full(len(ids), frame_idx, float), ids.astype(float),
+                    boxes, classes.astype(float), scores,
+                ]))
+            n_frames[v] += 1
+        first = False
+        frame_idx += 1
+        pbar.update(1)
+    pbar.close()
+
+    elapsed = max(time.time() - t_start, 1e-9)
+    total = sum(n_frames)
+    logger.info(
+        f"Parallel extraction: {total} frames over {num_videos} videos "
+        f"({total / elapsed:.1f} frames/s aggregate)."
+    )
+
+    # per-video post-processing + saving through the sequential machinery
+    n_cols = 12 if stabilize_on else 8
+    for v, source in enumerate(sources):
+        tracks = (np.concatenate(rows[v], axis=0) if rows[v] else np.empty((0, n_cols)))
+        tracks = postprocess.remove_short_tracks(
+            tracks, int(main["extraction"]["min_track_length"]), logger
+        )
+        tracks = postprocess.vote_track_classes(tracks)
+        info = readers[v].info
+        tracks = postprocess.estimate_vehicle_dimensions(
+            tracks, main["extraction"]["dimension_estimation"], info.width, info.height
+        )
+        if args.interpolate:
+            tracks = postprocess.interpolate_tracks(
+                tracks, int(main["tracker_params"].get("track_buffer", 30)), logger
+            )
+        transforms_arr = np.asarray(transforms[v]) if transforms[v] else np.empty((0, 10))
+        stats = {
+            "frames": n_frames[v],
+            "avg_detect_ms": 0.0, "avg_stab_ms": 0.0,
+            "fps": total / elapsed / max(num_videos, 1),
+            "frame_size": (info.width, info.height),
+            "video_fps": info.fps,
+        }
+        video_args = type(args)(**{**vars(args), "source": source}) if hasattr(args, "__dict__") else args
+        impl.save_results(tracks, transforms_arr, video_args,
+                          config, {**main["output"], "folder": args.output_folder}, stats, logger)

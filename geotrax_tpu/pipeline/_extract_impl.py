@@ -159,7 +159,10 @@ def track_video(args, config: dict, logger) -> tuple:
 
             gmc_h = None
             if h_prev is not None:
-                gmc_h = jnp.asarray(np.linalg.inv(h_cur) @ h_prev)
+                try:
+                    gmc_h = jnp.asarray(np.linalg.inv(h_cur) @ h_prev)
+                except np.linalg.LinAlgError:
+                    logger.warning(f"Frame {frame_idx}: singular stabilization H; GMC skipped.")
             h_prev = h_cur
 
             # ---- tracker step (frame ids are 1-based inside the tracker)

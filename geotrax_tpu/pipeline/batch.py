@@ -65,6 +65,8 @@ def process_input(args: argparse.Namespace, logger: logging.Logger) -> None:
                 if f.is_file() and f.suffix.lower() in VIDEO_FORMATS
             ]
             files = sorted(filter_files_to_process(candidates, args, logger))
+            if getattr(args, "parallel_videos", 1) > 1 and not args.dry_run:
+                run_parallel_extraction(files, args, logger, out_cfg)
             pbar = tqdm(files, unit="video")
             for file in pbar:
                 pbar.set_description(f"Processing: '{file}'")
@@ -78,6 +80,44 @@ def process_input(args: argparse.Namespace, logger: logging.Logger) -> None:
         and not args.viz_only and not args.geo_only and input_path.is_dir()
     ):
         run_plotting(input_path, args, logger)
+
+
+def run_parallel_extraction(files: list, args, logger, out_cfg: dict) -> None:
+    """Group videos needing extraction by resolution and run each group
+    through the lockstep multi-video extractor; downstream stages then find
+    the outputs and skip re-extraction."""
+    if args.viz_only or args.geo_only or args.plot_only:
+        return
+    pending = [
+        f for f in files
+        if should_process_file(f, args, logger, ACTION_EXTRACT, out_cfg)
+    ]
+    if len(pending) < 2:
+        return
+    from geotrax_tpu.io.video import probe_video
+    from geotrax_tpu.parallel.extract_batch import extract_videos_batch
+    from geotrax_tpu.utils.config_utils import load_config_all
+
+    groups: dict = {}
+    for f in pending:
+        info = probe_video(f)
+        groups.setdefault((info.width, info.height), []).append(f)
+
+    args.source = pending[0]
+    config = load_config_all(args, logger, needs_model=True)
+    group_size = int(args.parallel_videos)
+    for (w, h), members in groups.items():
+        for start in range(0, len(members) - group_size + 1, group_size):
+            group = members[start:start + group_size]
+            logger.notice(
+                f"Parallel extraction of {len(group)} videos at {w}x{h}: "
+                f"{[m.name for m in group]}"
+            )
+            try:
+                extract_videos_batch(group, args, config, logger)
+            except Exception as exc:  # noqa: BLE001 — fall back to sequential
+                logger.error(f"Parallel extraction failed ({exc}); falling back to sequential.")
+                return
 
 
 def run_plotting(path: Path, args: argparse.Namespace, logger: logging.Logger) -> None:
@@ -200,6 +240,9 @@ def parse_cli_args() -> argparse.Namespace:
     batch.add_argument("--geo-only", "-go", action="store_true", help="Only run georeferencing.")
     batch.add_argument("--plot-only", "-po", action="store_true", help="Only generate plots.")
     batch.add_argument("--no-geo", "-ng", action="store_true", help="Skip georeferencing.")
+    batch.add_argument("--parallel-videos", "-pv", type=int, default=1,
+                       help="Extract N same-resolution videos in lockstep on the device "
+                            "(batched detection + vmapped stabilization/tracking).")
     batch.add_argument("--folders-exclude", "-fe", type=str, nargs="+", default=None,
                        help="Folders to exclude from batch scanning.")
     batch.add_argument("--exclude-patterns", "-ep", type=str, nargs="+", default=None,

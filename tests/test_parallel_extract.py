@@ -1,0 +1,225 @@
+"""Lockstep multi-video extraction: outputs must match the sequential path
+per video.
+
+Exact parity is asserted with stabilization OFF (the tracker is fully
+deterministic). With stabilization ON the parallel path draws different
+RANSAC PRNG keys than the sequential path, and the resulting homography
+jitter feeds the GMC matrix and hence the Kalman state — so that path gets
+a separate smoke test (static synthetic camera => H ~ identity)."""
+
+import argparse
+import logging
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+logger = logging.getLogger("test-pex")
+
+N_FRAMES = 14
+N_VIDEOS = 3
+
+
+def det_for(readers, v, idx, max_det=8):
+    b = np.zeros((max_det, 4), np.float32)
+    s = np.zeros((max_det,), np.float32)
+    c = np.full((max_det,), -1, np.int32)
+    valid = np.zeros((max_det,), bool)
+    for i, box in enumerate(readers[v].boxes_at(idx)):
+        b[i] = box
+        s[i] = 0.9
+        c[i] = 0
+        valid[i] = True
+    return b, s, c, valid
+
+
+class BatchOracle:
+    """Oracle detector with a batch interface for the lockstep path: batch
+    position = video index, frame index = call counter (lockstep order)."""
+
+    max_det = 8
+    class_names = {0: "car"}
+    is_rtdetr = False
+
+    def __init__(self, readers):
+        self.readers = readers
+        self._frame = 0
+
+    def detect_batch(self, stacked):
+        # lockstep: at call t only videos with >t frames are in the batch,
+        # in video order (mirrors extract_videos_batch's live subset)
+        live = [v for v, r in enumerate(self.readers) if r.n_frames > self._frame]
+        assert stacked.shape[0] == len(live)
+        outs = [det_for(self.readers, v, self._frame) for v in live]
+        self._frame += 1
+        return {
+            "boxes_xywh": jnp.asarray(np.stack([o[0] for o in outs])),
+            "scores": jnp.asarray(np.stack([o[1] for o in outs])),
+            "classes": jnp.asarray(np.stack([o[2] for o in outs])),
+            "valid": jnp.asarray(np.stack([o[3] for o in outs])),
+        }
+
+
+class SeqOracle:
+    """Per-frame oracle for the sequential reference run (no detect_batch,
+    so _extract_impl uses the chunk_size=1 per-frame path)."""
+
+    max_det = 8
+    class_names = {0: "car"}
+    is_rtdetr = False
+
+    def __init__(self, readers, video):
+        self.readers = readers
+        self.video = video
+
+    def __call__(self, frame, frame_index=0):
+        b, s, c, valid = det_for(self.readers, self.video, frame_index)
+        return {
+            "boxes_xywh": jnp.asarray(b), "scores": jnp.asarray(s),
+            "classes": jnp.asarray(c), "valid": jnp.asarray(valid),
+        }
+
+
+def make_readers(lengths=None):
+    from geotrax_tpu.io.video import SyntheticVideoReader
+
+    lengths = lengths or [N_FRAMES] * N_VIDEOS
+    readers = []
+    for v in range(N_VIDEOS):
+        boxes = [{
+            "xy0": (40.0 + 15 * v, 50.0 + 10 * v),
+            "v": (2.0 + v, 0.5), "wh": (30, 12), "color": (255, 40, 40),
+        }]
+        readers.append(SyntheticVideoReader(width=320, height=240,
+                                            n_frames=lengths[v], boxes=boxes, seed=7))
+    return readers
+
+
+def make_args(tmp_path, i):
+    src = tmp_path / f"V{i}.mp4"
+    src.write_bytes(b"x")
+    dummy_model = tmp_path / "unused.npz"
+    if not dummy_model.exists():
+        np.savez(dummy_model, **{"param:none": np.zeros(1)})
+    return argparse.Namespace(
+        source=src, cfg="default", output_folder=str(tmp_path / "out"),
+        log_path=None, verbose=False, model=[str(dummy_model)],
+        class_names=["0=car"],
+        conf=None, classes=None, cut_frame_left=0, cut_frame_right=None,
+        interpolate=False, show=None, profile=None,
+    )
+
+
+TRACKER_PARAMS = {
+    "track_high_thresh": 0.25, "track_low_thresh": 0.1,
+    "new_track_thresh": 0.25, "track_buffer": 30, "match_thresh": 0.8,
+    "fuse_score": True,
+}
+
+
+def load_test_config(args, stabilize):
+    from geotrax_tpu.utils.config_utils import load_config_all
+
+    config = load_config_all(args, logger, needs_model=False)
+    config["main"]["tracker_active"] = "bytetrack"
+    config["main"]["tracker_params"] = dict(TRACKER_PARAMS)
+    config["main"]["extraction"]["stabilize"] = stabilize
+    config["ultralytics"]["max_det"] = 8
+    return config
+
+
+def run_parallel(tmp_path, monkeypatch, stabilize, lengths=None):
+    from geotrax_tpu.parallel import extract_batch
+    from geotrax_tpu.pipeline import _extract_impl as impl
+
+    readers = make_readers(lengths)
+    oracle = BatchOracle(readers)
+    monkeypatch.setattr(impl, "load_detector", lambda cfg, lg: oracle)
+    reader_map, sources = {}, []
+    for i in range(N_VIDEOS):
+        args_i = make_args(tmp_path, i)
+        sources.append(args_i.source)
+        reader_map[str(args_i.source)] = readers[i]
+    monkeypatch.setattr(impl, "open_reader", lambda s, a, b, c: reader_map[str(s)])
+
+    args = make_args(tmp_path, 0)
+    args.source = sources[0]
+    config = load_test_config(args, stabilize)
+    extract_batch.extract_videos_batch(sources, args, config, logger)
+    return [
+        np.loadtxt(tmp_path / "out" / f"V{i}.txt", delimiter=",")
+        for i in range(N_VIDEOS)
+    ]
+
+
+def run_sequential(tmp_path, monkeypatch, stabilize, lengths=None):
+    from geotrax_tpu.pipeline import _extract_impl as impl
+
+    readers = make_readers(lengths)
+    outs = []
+    orig_load = impl.load_config_all
+
+    def patched_load(args, lg, needs_model=True):
+        cfg = orig_load(args, lg, needs_model=needs_model)
+        cfg["main"]["tracker_active"] = "bytetrack"
+        cfg["main"]["tracker_params"] = dict(TRACKER_PARAMS)
+        cfg["main"]["extraction"]["stabilize"] = stabilize
+        cfg["ultralytics"]["max_det"] = 8
+        return cfg
+
+    monkeypatch.setattr(impl, "load_config_all", patched_load)
+    for i in range(N_VIDEOS):
+        oracle = SeqOracle(readers, i)
+        monkeypatch.setattr(impl, "load_detector", lambda cfg, lg, o=oracle: o)
+        monkeypatch.setattr(impl, "open_reader",
+                            lambda s, a, b, c, rr=readers[i]: rr)
+        args_i = make_args(tmp_path, i)
+        args_i.output_folder = str(tmp_path / f"seq{i}")
+        impl.run_extraction(args_i, logger)
+        outs.append(np.loadtxt(tmp_path / f"seq{i}" / f"V{i}.txt", delimiter=","))
+    return outs
+
+
+@pytest.mark.slow
+def test_parallel_matches_sequential_exact(tmp_path, monkeypatch):
+    """Stabilization off: the whole chain is deterministic, so the lockstep
+    path must reproduce the sequential outputs bit-for-bit (same %g files)."""
+    par = run_parallel(tmp_path, monkeypatch, stabilize=False)
+    seq = run_sequential(tmp_path, monkeypatch, stabilize=False)
+    for i in range(N_VIDEOS):
+        assert par[i].shape == seq[i].shape, f"video {i}: {par[i].shape} vs {seq[i].shape}"
+        np.testing.assert_array_equal(par[i], seq[i])
+
+
+@pytest.mark.slow
+def test_parallel_ragged_lengths(tmp_path, monkeypatch):
+    """Videos of unequal length: the lockstep loop keeps going with the
+    surviving subset — no tail frames may be dropped."""
+    lengths = [10, N_FRAMES, 12]
+    par = run_parallel(tmp_path, monkeypatch, stabilize=False, lengths=lengths)
+    seq = run_sequential(tmp_path, monkeypatch, stabilize=False, lengths=lengths)
+    for i in range(N_VIDEOS):
+        assert par[i][:, 0].max() == lengths[i] - 1, f"video {i} truncated"
+        np.testing.assert_array_equal(par[i], seq[i])
+
+
+@pytest.mark.slow
+def test_parallel_stabilized_smoke(tmp_path, monkeypatch):
+    """Stabilization on: BatchStabilizer (vmapped fused pipeline) runs, the
+    camera is static, so per-video homographies stay near identity and the
+    stabilized boxes track the raw ones."""
+    par = run_parallel(tmp_path, monkeypatch, stabilize=True)
+    for i in range(N_VIDEOS):
+        tracks = par[i]
+        assert tracks.shape[1] == 14  # stabilized layout
+        # static synthetic camera: stabilized ~ unstabilized
+        np.testing.assert_allclose(tracks[:, 2:6], tracks[:, 6:10], atol=1.5)
+        # transforms file written with near-identity homographies
+        tf = np.loadtxt(tmp_path / "out" / f"V{i}_vid_transf.txt", delimiter=",")
+        assert tf.shape[0] == N_FRAMES - 1
+        h = tf[:, 1:].reshape(-1, 3, 3)
+        assert np.all(np.isfinite(h))
+        d = np.abs(h - np.eye(3))
+        assert np.max(d[:, :2, :2]) < 0.05  # rotation/scale ~ identity
+        assert np.max(d[:, :2, 2]) < 1.5    # sub-2px translation jitter
