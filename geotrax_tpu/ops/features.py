@@ -87,19 +87,23 @@ def _shift(img, dx, dy):
 
 
 def _gaussian_blur(gray: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
-    """Separable blur via per-row/column convolve.
+    """Separable blur as static-slice tap sums (zero-padded borders, matching
+    jnp.convolve mode='same').
 
-    Benchmarked against lax.conv in both NHWC and NCHW layouts inside the
-    fused stabilization graph: the conv forms force whole-image layout
-    transposes (+55 ms/frame at 1080p); this vmapped form fuses to
-    effectively zero marginal cost.
-    """
+    TPU benchmarks at 1080p: lax.conv forces whole-image layout transposes
+    (+55 ms/frame); vmapped jnp.convolve lowers to a slow per-row gather
+    (~59 ms/frame); this tap-sum form is pure shifted elementwise adds that
+    XLA fuses into one pass per axis (~0.5 ms/frame)."""
     radius = int(3 * sigma + 0.5)
     x = np.arange(-radius, radius + 1)
     k = np.exp(-0.5 * (x / sigma) ** 2)
-    k = jnp.asarray((k / k.sum()).astype(np.float32))
-    blurred = jax.vmap(lambda row: jnp.convolve(row, k, mode="same"))(gray)
-    return jax.vmap(lambda col: jnp.convolve(col, k, mode="same"))(blurred.T).T
+    k = (k / k.sum()).astype(np.float32)
+    taps = 2 * radius + 1
+    h, w = gray.shape
+    rows = jnp.pad(gray, ((0, 0), (radius, radius)))
+    blurred = sum(k[i] * rows[:, i:i + w] for i in range(taps))
+    cols = jnp.pad(blurred, ((radius, radius), (0, 0)))
+    return sum(k[i] * cols[i:i + h, :] for i in range(taps))
 
 
 @partial(jax.jit, static_argnames=("max_features", "threshold"))
@@ -147,7 +151,13 @@ def fast_detect(gray: jnp.ndarray, max_features: int, threshold: float = 20.0,
     )
     score = jnp.where(score >= neighborhood, score, 0.0)
 
-    top_scores, flat_idx = jax.lax.top_k(score.reshape(-1), max_features)
+    if jax.devices()[0].platform in ("tpu", "axon"):
+        # approximate top-k (recall ~0.95 among equal-score tails) is ~10x
+        # faster than the full 2M-element sort; feature selection tolerates
+        # swapping the weakest corners for near-equals
+        top_scores, flat_idx = jax.lax.approx_max_k(score.reshape(-1), max_features)
+    else:
+        top_scores, flat_idx = jax.lax.top_k(score.reshape(-1), max_features)
     kp_y = (flat_idx // w).astype(jnp.float32)
     kp_x = (flat_idx % w).astype(jnp.float32)
     valid = top_scores > 0.0
@@ -170,13 +180,31 @@ def _disc_offsets(radius: int = 15):
 
 
 def _orientation(gray, kp_x, kp_y, radius: int = 15):
-    offs = jnp.asarray(_disc_offsets(radius))  # (P,2)
+    """Intensity-centroid orientation (ORB flavor).
+
+    The K*709 disc reads were one scattered gather (~14 ms/frame on TPU at
+    K=2000); keypoints come from top_k on the pixel grid with a 16 px border
+    exclusion, so each disc fits in one contiguous (2R+1)^2 block slice —
+    extracted with a block gather (fast DMAs) and reduced against a constant
+    disc-weight stencil. Identical pixels for in-border keypoints; only the
+    f32 summation order differs from the scattered form."""
     h, w = gray.shape
-    sx = jnp.clip(kp_x[:, None] + offs[None, :, 0], 0, w - 1).astype(jnp.int32)
-    sy = jnp.clip(kp_y[:, None] + offs[None, :, 1], 0, h - 1).astype(jnp.int32)
-    patch = gray[sy, sx]  # (K, P)
-    m10 = jnp.sum(patch * offs[None, :, 0], axis=1)
-    m01 = jnp.sum(patch * offs[None, :, 1], axis=1)
+    p = 2 * radius + 1
+    x0 = jnp.clip(kp_x.astype(jnp.int32) - radius, 0, w - p)
+    y0 = jnp.clip(kp_y.astype(jnp.int32) - radius, 0, h - p)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1)
+    )
+    patch = jax.lax.gather(
+        gray, jnp.stack([y0, x0], -1), dn,
+        slice_sizes=(p, p), mode=jax.lax.GatherScatterMode.CLIP,
+    )  # (K,P,P)
+    ys, xs = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    inside = (xs**2 + ys**2 <= radius**2).astype(np.float32)
+    wx = jnp.asarray((xs * inside).astype(np.float32))
+    wy = jnp.asarray((ys * inside).astype(np.float32))
+    m10 = jnp.sum(patch * wx[None], axis=(1, 2))
+    m01 = jnp.sum(patch * wy[None], axis=(1, 2))
     return jnp.arctan2(m01, m10)
 
 
@@ -188,9 +216,20 @@ def _brief_pattern(n_tests: int = 256, patch: int = 31, seed: int = 7):
     return np.clip(pts, -(patch // 2), patch // 2).astype(np.float32)
 
 
+_DESC_PATCH = 48  # covers the rotated +-22 px test extent around a keypoint
+
+
 @partial(jax.jit, static_argnames=("n_tests",))
 def describe(gray: jnp.ndarray, kps: Keypoints, n_tests: int = 256) -> jnp.ndarray:
-    """Steered binary descriptors (K, n_tests) in {0,1} float32."""
+    """Steered binary descriptors (K, n_tests) in {0,1} float32.
+
+    The K*T*2 test-point reads are the hot op. A scattered 2D gather runs on
+    the TPU's scalar path (~17 ms/frame at 1080p/K=2000); instead, each
+    keypoint's 48x48 neighborhood is pulled out with one block-slice gather
+    (contiguous 2D slices lower to fast DMAs) and the test points are
+    selected with one-hot matmuls on the MXU (~5 ms/frame). One-hot rows
+    have a single nonzero product, so 'highest'-precision selection is
+    bit-exact — both paths produce identical descriptors."""
     smoothed = _gaussian_blur(gray, sigma=2.0)
     pattern = jnp.asarray(_brief_pattern(n_tests))  # (T,2,2)
     cos = jnp.cos(kps.angle)
@@ -202,7 +241,30 @@ def describe(gray: jnp.ndarray, kps: Keypoints, n_tests: int = 256) -> jnp.ndarr
     h, w = gray.shape
     px = jnp.clip(jnp.round(pos[..., 0]), 0, w - 1).astype(jnp.int32)
     py = jnp.clip(jnp.round(pos[..., 1]), 0, h - 1).astype(jnp.int32)
-    vals = smoothed[py, px]  # (K,T,2)
+    if jax.devices()[0].platform not in ("tpu", "axon") or min(h, w) < _DESC_PATCH:
+        vals = smoothed[py, px]  # (K,T,2) — fast enough off-TPU
+        return (vals[..., 0] < vals[..., 1]).astype(jnp.float32)
+
+    p = _DESC_PATCH
+    k = kps.xy.shape[0]
+    # patch window: x in [floor(x)-23, floor(x)+24] contains every clipped
+    # test point (rotated extent +-22, rounding +-0.5), incl. border clamps
+    x0 = jnp.clip(jnp.floor(kps.xy[:, 0]).astype(jnp.int32) - 23, 0, w - p)
+    y0 = jnp.clip(jnp.floor(kps.xy[:, 1]).astype(jnp.int32) - 23, 0, h - p)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1)
+    )
+    patches = jax.lax.gather(
+        smoothed, jnp.stack([y0, x0], -1), dn,
+        slice_sizes=(p, p), mode=jax.lax.GatherScatterMode.CLIP,
+    )  # (K,P,P)
+    rel_y = (py - y0[:, None, None]).reshape(k, -1)  # (K, T*2)
+    rel_x = (px - x0[:, None, None]).reshape(k, -1)
+    oy = (rel_y[..., None] == jnp.arange(p)).astype(jnp.float32)  # (K,T2,P)
+    ox = (rel_x[..., None] == jnp.arange(p)).astype(jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        rows = jnp.einsum("kts,kso->kto", oy, patches)  # (K,T2,P)
+    vals = (rows * ox).sum(-1).reshape(k, n_tests, 2)
     return (vals[..., 0] < vals[..., 1]).astype(jnp.float32)
 
 
