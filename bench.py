@@ -10,9 +10,10 @@ is benchmarked separately by its tests).
 
 Stabilization (config stabilize: true) adds a separately-measured fused
 device pass — FAST corners + descriptors + MXU Hamming matching + 1250
-parallel RANSAC hypotheses — of ~44 ms/frame at the default 0.5 downsample
-(2000/4000 feature budget); the reference's CPU stabilo runs the same step
-in hundreds of ms. The headline metric matches the reference's
+parallel RANSAC hypotheses — of ~17 ms/frame at the default 0.5 downsample
+(2000/4000 feature budget; block-slice patch gathers + one-hot MXU
+selection, see ops/features.py); the reference's CPU stabilo runs the same
+step in hundreds of ms. The headline metric matches the reference's
 model.track() scope (detect + NMS + track).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
