@@ -74,7 +74,23 @@ def make_train_step(spec, tx, mesh: Mesh):
     (params, opt_state, metrics)."""
     from geotrax_tpu.models.loss import detection_loss
 
+    def constrain(params):
+        return jax.tree.map(
+            lambda p: jax.lax.with_sharding_constraint(
+                p, NamedSharding(mesh, _param_spec(p, mesh))
+            ),
+            params,
+        )
+
     def step(params, opt_state, batch):
+        params = constrain(params)
+        batch = jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, P("data"))
+            ),
+            batch,
+        )
+
         def loss_fn(p):
             return detection_loss(
                 p, batch["images"], batch["gt_boxes"], batch["gt_cls"],
@@ -84,9 +100,8 @@ def make_train_step(spec, tx, mesh: Mesh):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
-        return params, opt_state, metrics
+        return constrain(params), opt_state, metrics
 
-    param_shardings = None  # inferred from input shardings by GSPMD
     return jax.jit(step, donate_argnums=(0, 1))
 
 
