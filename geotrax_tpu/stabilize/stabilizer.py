@@ -104,8 +104,10 @@ class Stabilizer:
             return features.detect_and_describe_pyramid(
                 gray, n_features, n_levels=self.n_levels, mask=mask
             )
-        kps = features.fast_detect(gray, n_features, mask=mask)
-        desc = features.describe(gray, kps)
+        # same-scale consecutive-frame matching: unoriented descriptors
+        # (consecutive hovering-drone frames rotate < a few degrees)
+        kps = features.fast_detect(gray, n_features, mask=mask, oriented=False)
+        desc = features.describe(gray, kps, oriented=False)
         return kps, desc
 
     # ------------------------------------------------------------------ API
@@ -142,8 +144,8 @@ class Stabilizer:
                 features.boxes_mask(gray.shape, boxes_padded * ratio, margin)
                 if use_mask else None
             )
-            kps = features.fast_detect(gray, n_features, mask=mask)
-            desc = features.describe(gray, kps)
+            kps = features.fast_detect(gray, n_features, mask=mask, oriented=False)
+            desc = features.describe(gray, kps, oriented=False)
             matches = features.match_descriptors(
                 desc, kps.valid, ref_desc, ref_valid, ratio=filter_ratio
             )

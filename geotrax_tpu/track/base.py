@@ -65,7 +65,7 @@ HIST = 8  # observation-history ring length (covers delta_t <= 7)
 
 class TrackerState(NamedTuple):
     kf_mean: jnp.ndarray      # (K, 8)
-    kf_cov: jnp.ndarray       # (K, 8, 8)
+    kf_cov: jnp.ndarray       # (K, 4, 3) factored per-coordinate [p_xx,p_xv,p_vv]
     status: jnp.ndarray       # (K,) int32
     track_id: jnp.ndarray     # (K,) int32
     score: jnp.ndarray        # (K,)
@@ -93,7 +93,7 @@ def init_state(cfg: TrackerConfig) -> TrackerState:
     k = cfg.max_tracks
     return TrackerState(
         kf_mean=jnp.zeros((k, 8)),
-        kf_cov=jnp.zeros((k, 8, 8)),
+        kf_cov=jnp.zeros((k, 4, kalman.COV_DIM)),
         status=jnp.zeros((k,), jnp.int32),
         track_id=jnp.zeros((k,), jnp.int32),
         score=jnp.zeros((k,)),
@@ -130,9 +130,7 @@ def _apply_matches(state: TrackerState, cfg: TrackerConfig, det_boxes, det_score
     """KF-update every matched slot with its assigned detection."""
     safe_col = jnp.clip(row_col, 0, det_boxes.shape[0] - 1)
     meas = kalman.measurement_from_xywh(det_boxes[safe_col], fmt=cfg.kf_fmt)
-    upd = jax.vmap(lambda m, c, z: kalman.update(kalman.KFState(m, c), z, fmt=cfg.kf_fmt))(
-        state.kf_mean, state.kf_cov, meas
-    )
+    upd = kalman.update(kalman.KFState(state.kf_mean, state.kf_cov), meas, fmt=cfg.kf_fmt)
     m = matched
     shifted_hist = jnp.concatenate(
         [state.obs_hist[:, 1:], det_boxes[safe_col][:, None, :]], axis=1
@@ -158,48 +156,64 @@ def _apply_matches(state: TrackerState, cfg: TrackerConfig, det_boxes, det_score
 def _spawn_new(state: TrackerState, cfg: TrackerConfig, det_boxes, det_scores,
                det_cls, spawn_mask, frame_id) -> TrackerState:
     """Allocate empty slots for new tracks, preserving detection order for ID
-    sequencing (matches ultralytics id assignment order)."""
+    sequencing (matches ultralytics id assignment order).
+
+    Slot-centric formulation: each empty slot computes its rank among empty
+    slots and *gathers* the same-ranked spawning detection. One small int
+    scatter builds the rank->detection table; every state field then updates
+    with gathers + where — the scatter-per-field form cost ~2.2 ms/frame on
+    TPU (dominated by a dozen scattered writes), this one is elementwise."""
     k = cfg.max_tracks
     m = det_boxes.shape[0]
     empty = state.status == EMPTY
-    # slot_order: indices of empty slots first (stable)
-    slot_order = jnp.argsort(jnp.logical_not(empty), stable=True)
-    spawn_rank = jnp.cumsum(spawn_mask) - 1          # rank among spawning dets
-    num_empty = jnp.sum(empty)
-    can_spawn = spawn_mask & (spawn_rank < num_empty)
-    target_slot = jnp.where(can_spawn, slot_order[jnp.clip(spawn_rank, 0, k - 1)], k)
+    slot_rank = jnp.cumsum(empty) - 1                 # rank among empty slots
+    spawn_rank = jnp.cumsum(spawn_mask) - 1           # rank among spawning dets
+    num_spawn = jnp.sum(spawn_mask)
 
-    meas = kalman.measurement_from_xywh(det_boxes, fmt=cfg.kf_fmt)
-    init = jax.vmap(lambda z: kalman.initiate(z, fmt=cfg.kf_fmt))(meas)
+    # rank -> detection index table (the only scatter: (M,) int into (K,))
+    det_of_rank = jnp.full((k,), m, jnp.int32).at[
+        jnp.where(spawn_mask, spawn_rank, k)
+    ].set(jnp.arange(m, dtype=jnp.int32), mode="drop")
+    recv = empty & (slot_rank < num_spawn)
+    safe_det = jnp.clip(
+        det_of_rank[jnp.clip(slot_rank, 0, k - 1)], 0, m - 1
+    )  # (K,) detection feeding each receiving slot
 
-    new_ids = state.next_id + spawn_rank.astype(jnp.int32)
-
-    def scatter(arr, values):
-        return arr.at[target_slot].set(values, mode="drop")
+    meas = kalman.measurement_from_xywh(det_boxes[safe_det], fmt=cfg.kf_fmt)
+    init = kalman.initiate(meas, fmt=cfg.kf_fmt)
+    new_ids = state.next_id + slot_rank.astype(jnp.int32)
 
     first_frame = frame_id == 1
     status_new = jnp.where(first_frame, TRACKED, TENTATIVE).astype(jnp.int32)
-    state = state._replace(
-        kf_mean=state.kf_mean.at[target_slot].set(init.mean, mode="drop"),
-        kf_cov=state.kf_cov.at[target_slot].set(init.cov, mode="drop"),
-        status=scatter(state.status, jnp.full((m,), 1, jnp.int32) * status_new),
-        track_id=scatter(state.track_id, new_ids),
-        score=scatter(state.score, det_scores),
-        cls=scatter(state.cls, det_cls),
-        last_frame=scatter(state.last_frame, jnp.full((m,), frame_id, jnp.int32)),
-        start_frame=scatter(state.start_frame, jnp.full((m,), frame_id, jnp.int32)),
-        hits=scatter(state.hits, jnp.ones((m,), jnp.int32)),
-        obs_box=state.obs_box.at[target_slot].set(det_boxes, mode="drop"),
-        obs_hist=state.obs_hist.at[target_slot].set(
-            jnp.repeat(det_boxes[:, None, :], HIST, axis=1) * 0.0, mode="drop"
-        ).at[target_slot, HIST - 1].set(det_boxes, mode="drop"),
-        hist_frame=state.hist_frame.at[target_slot].set(
-            jnp.zeros((m, HIST), jnp.int32), mode="drop"
-        ).at[target_slot, HIST - 1].set(jnp.full((m,), frame_id, jnp.int32), mode="drop"),
-        occ=scatter(state.occ, jnp.zeros((m,), jnp.int32)),
-        next_id=state.next_id + jnp.sum(can_spawn).astype(jnp.int32),
+    boxes_new = det_boxes[safe_det]
+    hist_new = jnp.concatenate(
+        [jnp.zeros((k, HIST - 1, 4), boxes_new.dtype), boxes_new[:, None, :]], axis=1
     )
-    return state
+    hist_frame_new = jnp.concatenate(
+        [jnp.zeros((k, HIST - 1), jnp.int32),
+         jnp.full((k, 1), frame_id, jnp.int32)], axis=1
+    )
+
+    def pick(new, old):
+        mask = recv.reshape(recv.shape + (1,) * (old.ndim - 1))
+        return jnp.where(mask, new, old)
+
+    return state._replace(
+        kf_mean=pick(init.mean, state.kf_mean),
+        kf_cov=pick(init.cov, state.kf_cov),
+        status=pick(jnp.full((k,), 1, jnp.int32) * status_new, state.status),
+        track_id=pick(new_ids, state.track_id),
+        score=pick(det_scores[safe_det], state.score),
+        cls=pick(det_cls[safe_det], state.cls),
+        last_frame=pick(jnp.full((k,), frame_id, jnp.int32), state.last_frame),
+        start_frame=pick(jnp.full((k,), frame_id, jnp.int32), state.start_frame),
+        hits=pick(jnp.ones((k,), jnp.int32), state.hits),
+        obs_box=pick(boxes_new, state.obs_box),
+        obs_hist=pick(hist_new, state.obs_hist),
+        hist_frame=pick(hist_frame_new, state.hist_frame),
+        occ=pick(jnp.zeros((k,), jnp.int32), state.occ),
+        next_id=state.next_id + jnp.minimum(num_spawn, jnp.sum(empty)).astype(jnp.int32),
+    )
 
 
 def predict_stage(state: TrackerState, cfg: TrackerConfig,
@@ -215,9 +229,7 @@ def predict_stage(state: TrackerState, cfg: TrackerConfig,
     else:
         mean = mean.at[:, 6].set(jnp.where(not_tracked, 0.0, mean[:, 6]))
         mean = mean.at[:, 7].set(jnp.where(not_tracked, 0.0, mean[:, 7]))
-    pred = jax.vmap(lambda m, c: kalman.predict(kalman.KFState(m, c), fmt=cfg.kf_fmt))(
-        mean, state.kf_cov
-    )
+    pred = kalman.predict(kalman.KFState(mean, state.kf_cov), fmt=cfg.kf_fmt)
     new_mean = jnp.where(live[:, None], pred.mean, state.kf_mean)
     new_cov = jnp.where(live[:, None, None], pred.cov, state.kf_cov)
 

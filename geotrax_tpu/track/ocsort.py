@@ -93,7 +93,7 @@ def make_ocsort_step(params: dict, common: dict, deep: bool = False):
         from geotrax_tpu.ops import kalman as kf
 
         re_meas = kf.measurement_from_xywh(state.obs_box, fmt=cfg_.kf_fmt)
-        re_init = jax.vmap(lambda z: kf.initiate(z, fmt=cfg_.kf_fmt))(re_meas)
+        re_init = kf.initiate(re_meas, fmt=cfg_.kf_fmt)
         state = state._replace(
             kf_mean=jnp.where(refound[:, None], re_init.mean, state.kf_mean),
             kf_cov=jnp.where(refound[:, None, None], re_init.cov, state.kf_cov),
