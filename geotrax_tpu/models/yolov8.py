@@ -391,21 +391,16 @@ def letterbox(image_u8, out_h: int, out_w: int, new_h: int, new_w: int,
               top: int, left: int):
     """(H,W,3) uint8 -> (out_h,out_w,3) float32 in [0,1], gray padding 114."""
     src_h, src_w = image_u8.shape[:2]
-    if src_h == 2 * new_h and src_w == 2 * new_w:
-        # cv2.resize INTER_LINEAR at exactly 0.5x == 2x2 block mean (no
-        # antialiasing — unlike jax.image.resize, which widens the kernel on
-        # downscale), so this matches ultralytics preprocessing bit-for-bit
-        # (reference extract.py -> ultralytics LetterBox). reduce_window is
-        # also the fastest lowering on TPU: +25%% end-to-end bench throughput
-        # over jax.image.resize at 4K (layout-transpose-free).
-        f = image_u8.astype(jnp.float32)
-        resized = jax.lax.reduce_window(
-            f, 0.0, jax.lax.add, (2, 2, 1), (2, 2, 1), "VALID"
-        ) * 0.25
+    if (src_h, src_w) == (new_h, new_w):
+        resized = image_u8.astype(jnp.float32)
     else:
-        resized = jax.image.resize(
-            image_u8.astype(jnp.float32), (new_h, new_w, 3), method="linear"
-        )
+        # cv2 fixed-point INTER_LINEAR (ops/resize.py) — bit-equal to the
+        # ultralytics LetterBox preprocessing (reference extract.py:153) at
+        # EVERY scale, not just the 4K 0.5x case: u8 in, u8 out, then /255
+        # exactly like torch.from_numpy(img).float()/255 downstream.
+        from geotrax_tpu.ops.resize import resize_u8_linear
+
+        resized = resize_u8_linear(image_u8, new_h, new_w).astype(jnp.float32)
     canvas = jnp.full((out_h, out_w, 3), 114.0, jnp.float32)
     canvas = jax.lax.dynamic_update_slice(canvas, resized, (top, left, 0))
     return canvas / 255.0

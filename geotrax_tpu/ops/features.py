@@ -92,6 +92,53 @@ def _shift(img, dx, dy):
     return jnp.roll(img, shift=(-dy, -dx), axis=(0, 1))
 
 
+RADIUS_FAST = 3
+
+
+def _shifted(padded, h, w, pad, dx, dy):
+    """Static window into a pre-padded image: out[y,x] = img[y+dy, x+dx]
+    (zero border). Static slices fuse into elementwise consumers — no
+    materialized shifted copies."""
+    return jax.lax.dynamic_slice(padded, (pad + dy, pad + dx), (h, w))
+
+
+def fast_score_map_xla(gray: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """FAST-9/16 corner score map in pure fused XLA via bit packing.
+
+    The 16 ring comparisons pack into one int32 bitmask plane (16 weighted
+    adds); the >=9-contiguous-run test is log-doubling shift-ANDs on the
+    doubled mask (b | b<<16) — ~10 integer ops per pixel on one plane,
+    instead of a materialized (16,H,W) boolean tensor. Numerically identical
+    to fast_score_map_reference; batches under vmap with no per-frame
+    serialization (unlike a Pallas dispatch)."""
+    center = gray.astype(jnp.float32)
+    h, w = center.shape
+    pad = RADIUS_FAST
+    padded = jnp.pad(center, pad)
+    hi = center + threshold
+    lo = center - threshold
+
+    bits_b = jnp.zeros((h, w), jnp.int32)
+    bits_d = jnp.zeros((h, w), jnp.int32)
+    score = jnp.zeros((h, w), jnp.float32)
+    for k, (dx, dy) in enumerate(_CIRCLE):
+        ring = _shifted(padded, h, w, pad, int(dx), int(dy))
+        bits_b = bits_b + ((ring > hi).astype(jnp.int32) << k)
+        bits_d = bits_d + ((ring < lo).astype(jnp.int32) << k)
+        score = score + jnp.abs(ring - center)
+
+    def has_run9(bits):
+        dbl = bits | (bits << 16)
+        r = dbl & (dbl >> 1)
+        r = r & (r >> 2)
+        r = r & (r >> 4)
+        r = r & (dbl >> 8)
+        return (r & 0xFFFF) != 0
+
+    is_corner = has_run9(bits_b) | has_run9(bits_d)
+    return jnp.where(is_corner, score, 0.0)
+
+
 def _gaussian_blur(gray: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
     """Separable blur as static-slice tap sums (zero-padded borders, matching
     jnp.convolve mode='same').
@@ -123,29 +170,10 @@ def fast_detect(gray: jnp.ndarray, max_features: int, threshold: float = 20.0,
     (consecutive frames of a hovering drone), where steering buys nothing
     and the K-patch moment gather costs ~4 ms/frame at K=2000."""
     h, w = gray.shape
-    if jax.devices()[0].platform in ("tpu", "axon"):
-        from geotrax_tpu.ops.pallas_fast import fast_score_map
-
-        score = fast_score_map(gray, threshold)
-    else:
-        center = gray
-        ring = jnp.stack([_shift(gray, int(dx), int(dy)) for dx, dy in _CIRCLE])
-
-        brighter = ring > center[None] + threshold
-        darker = ring < center[None] - threshold
-
-        def has_run9(bits):  # (16,H,W) bool -> a 9-long circular run exists
-            # Binary doubling of the AND-window: run(1)=bits; run(2k)=run(k)
-            # AND roll(run(k), k); run(9) = run(8) AND roll(run(1), 8).
-            run = bits
-            for shift in (1, 2, 4):
-                run = jnp.logical_and(run, jnp.roll(run, -shift, axis=0))
-            run9 = jnp.logical_and(run, jnp.roll(bits, -8, axis=0))
-            return jnp.any(run9, axis=0)
-
-        is_corner = has_run9(brighter) | has_run9(darker)
-        # Score: summed absolute ring difference (FAST score flavor).
-        score = jnp.sum(jnp.abs(ring - center[None]), axis=0) * is_corner
+    # bit-packed fused-XLA scoring (identical to the roll-based reference and
+    # the Pallas kernel in ops/pallas_fast.py; unlike the Pallas dispatch it
+    # batches natively under vmap — the fused chunk step runs 16 frames)
+    score = fast_score_map_xla(gray, threshold)
 
     # Exclude borders and masked (vehicle) regions.
     border = 16
@@ -231,6 +259,45 @@ _DESC_PATCH = 48  # covers the rotated +-22 px test extent around a keypoint
 _DESC_PATCH_UNORIENTED = 32  # unrotated extent is +-15 px
 
 
+def patches32(img: jnp.ndarray, x0: jnp.ndarray, y0: jnp.ndarray) -> jnp.ndarray:
+    """(H,W) f32 + (K,) int32 pre-clipped corners -> (K,32,32) patches via an
+    XLA block gather (ops/pallas_patches.py holds an experimental VMEM-
+    resident kernel, kept off the hot path — the descriptor pipeline now
+    avoids per-keypoint block gathers entirely, see _packed_test_planes)."""
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1)
+    )
+    return jax.lax.gather(
+        img, jnp.stack([y0, x0], -1), dn,
+        slice_sizes=(32, 32), mode=jax.lax.GatherScatterMode.CLIP,
+    )
+
+
+def _packed_test_planes(smoothed: jnp.ndarray, n_tests: int) -> jnp.ndarray:
+    """(H,W) smoothed luma -> (H,W,n_tests//32) int32 planes where bit b of
+    plane w at pixel p is test t = w*32+b: s(p+o1_t) < s(p+o2_t), offsets
+    from the rounded BRIEF pattern (zero padding beyond borders — keypoints
+    carry a 16 px border exclusion so in-range bits never see it)."""
+    assert n_tests % 32 == 0
+    h, w = smoothed.shape
+    half = _DESC_PATCH_UNORIENTED // 2  # 16 >= max |offset|
+    pts = np.round(_brief_pattern(n_tests)).astype(np.int64)  # (T,2,2)
+    padded = jnp.pad(smoothed, half)
+
+    def view(dx, dy):
+        return jax.lax.dynamic_slice(padded, (half + dy, half + dx), (h, w))
+
+    planes = []
+    for word in range(n_tests // 32):
+        acc = jnp.zeros((h, w), jnp.int32)
+        for b in range(32):
+            (x1, y1), (x2, y2) = pts[word * 32 + b]
+            bit = view(int(x1), int(y1)) < view(int(x2), int(y2))
+            acc = acc | (bit.astype(jnp.int32) << b)
+        planes.append(acc)
+    return jnp.stack(planes, axis=-1)
+
+
 @lru_cache(maxsize=4)
 def _unoriented_selection(n_tests: int, patch: int):
     """Constant (patch*patch, n_tests*2) one-hot selection matrix: at angle 0
@@ -264,22 +331,19 @@ def describe(gray: jnp.ndarray, kps: Keypoints, n_tests: int = 256,
     smoothed = _gaussian_blur(gray, sigma=2.0)
     h_img, w_img = gray.shape
     if not oriented and min(h_img, w_img) >= _DESC_PATCH_UNORIENTED:
-        p = _DESC_PATCH_UNORIENTED
-        k = kps.xy.shape[0]
-        half = p // 2 - 1
-        x0 = jnp.clip(kps.xy[:, 0].astype(jnp.int32) - half, 0, w_img - p)
-        y0 = jnp.clip(kps.xy[:, 1].astype(jnp.int32) - half, 0, h_img - p)
-        dn = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1)
-        )
-        patches = jax.lax.gather(
-            smoothed, jnp.stack([y0, x0], -1), dn,
-            slice_sizes=(p, p), mode=jax.lax.GatherScatterMode.CLIP,
-        )  # (K,P,P)
-        sel = jnp.asarray(_unoriented_selection(n_tests, p))
-        with jax.default_matmul_precision("highest"):
-            vals = (patches.reshape(k, p * p) @ sel).reshape(k, n_tests, 2)
-        return (vals[..., 0] < vals[..., 1]).astype(jnp.float32)
+        # Packed-plane formulation: every binary test becomes a full-image
+        # comparison of two statically-shifted views (fused elementwise —
+        # static slices never materialize), packed 32 tests per int32 plane;
+        # keypoints then gather n_tests/32 ints each instead of a 32x32
+        # patch (per-keypoint block gathers cost ~4.6 ms/frame at K=2000,
+        # dominated by DMA issue rate). Identical bits to the patch path.
+        planes = _packed_test_planes(smoothed, n_tests)  # (H,W,T/32) int32
+        kx = jnp.clip(kps.xy[:, 0].astype(jnp.int32), 0, w_img - 1)
+        ky = jnp.clip(kps.xy[:, 1].astype(jnp.int32), 0, h_img - 1)
+        ints = planes[ky, kx]  # (K, T/32)
+        shifts = jnp.arange(32, dtype=jnp.int32)
+        bits = (ints[:, :, None] >> shifts) & 1
+        return bits.reshape(kps.xy.shape[0], n_tests).astype(jnp.float32)
     pattern = jnp.asarray(_brief_pattern(n_tests))  # (T,2,2)
     cos = jnp.cos(kps.angle)
     sin = jnp.sin(kps.angle)

@@ -135,6 +135,37 @@ def _projective_basis(points4: jnp.ndarray) -> jnp.ndarray:
     return m * v[..., None, :]
 
 
+def fit_homography_normal(src: jnp.ndarray, dst: jnp.ndarray,
+                          weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Weighted DLT via the 9x9 normal equations: h = smallest eigenvector of
+    AᵀWA. One (9,2N)@(2N,9) matmul on the MXU + a tiny eigh, instead of the
+    (2N,9) SVD — the IRLS refinement inside RANSAC calls this several times
+    per frame and the SVD lowers to the TPU's slow scalar path. Squaring the
+    condition number is safe here because Hartley normalization keeps
+    cond(A) small and the caller only uses this to polish an already-good
+    hypothesis (tests gate the end accuracy)."""
+    t_src = _normalization_transform(src)
+    t_dst = _normalization_transform(dst)
+    s = apply_homography(t_src, src)
+    d = apply_homography(t_dst, dst)
+    x, y = s[..., 0], s[..., 1]
+    u, v = d[..., 0], d[..., 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    row1 = jnp.stack([-x, -y, -one, zero, zero, zero, u * x, u * y, u], axis=-1)
+    row2 = jnp.stack([zero, zero, zero, -x, -y, -one, v * x, v * y, v], axis=-1)
+    a = jnp.concatenate([row1, row2], axis=-2)  # (..., 2N, 9)
+    if weights is not None:
+        w = jnp.concatenate([weights, weights], axis=-1)[..., None]
+        a = a * jnp.sqrt(jnp.maximum(w, 0.0))
+    with jax.default_matmul_precision("highest"):
+        ata = jnp.einsum("...ni,...nj->...ij", a, a)
+        _, vecs = jnp.linalg.eigh(ata)           # ascending eigenvalues
+        h_norm = vecs[..., :, 0].reshape(src.shape[:-2] + (3, 3))
+        h = _sim_inverse(t_dst) @ h_norm @ t_src
+    return normalize_h(h)
+
+
 def fit_homography_minimal(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     """Exact 4-point homography via the projective-basis method: H maps the
     canonical basis through src and dst as H = B_dst adj(B_src). Entirely

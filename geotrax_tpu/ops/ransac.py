@@ -22,8 +22,8 @@ import jax.numpy as jnp
 
 from geotrax_tpu.ops.homography import (
     fit_affine,
-    fit_homography,
     fit_homography_minimal,
+    fit_homography_normal,
     normalize_h,
     reprojection_error,
 )
@@ -67,9 +67,10 @@ def ransac_fit(
     """
     n = src.shape[0]
     sample_size = 4 if transformation == "projective" else 3
-    # minimal samples: cheap exact 8x8 solve; refinement: weighted SVD DLT
+    # minimal samples: closed-form projective-basis fit; refinement:
+    # weighted DLT via 9x9 normal equations (both avoid the scalar path)
     hyp_fit = fit_homography_minimal if transformation == "projective" else fit_affine
-    fit_fn = fit_homography if transformation == "projective" else fit_affine
+    fit_fn = fit_homography_normal if transformation == "projective" else fit_affine
 
     weights = valid.astype(jnp.float32)
     # degenerate case (no valid correspondences): sample uniformly so the

@@ -1,0 +1,93 @@
+"""cv2-bit-exact INTER_LINEAR resize for uint8 images (JAX, TPU-first).
+
+The reference preprocessing resizes frames with cv2.resize INTER_LINEAR
+(ultralytics LetterBox; reference extract.py:153 -> model.track). OpenCV's
+8-bit path is FIXED-POINT, not float bilinear: coefficients are rounded to
+11-bit integers (INTER_RESIZE_COEF_SCALE = 2048), the horizontal pass
+accumulates alpha-weighted int32 sums, and the vertical pass applies the
+SSE2 `VResizeLinearVec_32s8u` rounding
+
+    dst = (((row0 >> 4) * b0) >> 16 + ((row1 >> 4) * b1) >> 16 + 2) >> 2
+
+so float bilinear (or antialiased jax.image.resize) differs from cv2 by
++-1-2 LSBs across most of the image. This module reproduces the integer
+pipeline exactly; tests pin bit-equality against the local cv2 at the
+pipeline-relevant scales (4K -> 1920, 2.7K -> 1920, odd scales).
+
+Both passes are static-weight gathers along one axis + elementwise integer
+math, which XLA lowers to row gathers (fast) and lane selects.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+COEF_BITS = 11
+COEF_SCALE = 1 << COEF_BITS  # 2048
+
+
+@lru_cache(maxsize=64)
+def _axis_coeffs(src: int, dst: int):
+    """cv2 resize coefficient table for one axis: (idx0 (dst,), a0, a1) with
+    a0 + a1 == 2048 (int32). Border handling matches cv2: clamp + full
+    weight on the surviving sample."""
+    scale = src / dst
+    d = np.arange(dst, dtype=np.float64)
+    fx = (d + 0.5) * scale - 0.5
+    sx = np.floor(fx).astype(np.int64)
+    fx = fx - sx
+    # cv2 border rules (resize.cpp): sx<0 -> (0, fx=0); sx>=src-1 -> (src-2, fx=1)
+    low = sx < 0
+    sx = np.where(low, 0, sx)
+    fx = np.where(low, 0.0, fx)
+    high = sx >= src - 1
+    sx = np.where(high, max(src - 2, 0), sx)
+    fx = np.where(high, 1.0, fx)
+    a1 = np.rint(fx * COEF_SCALE).astype(np.int32)  # cvRound: banker's? cv2 rounds half away... rint matches SSE cvRound (half-to-even)
+    a0 = COEF_SCALE - a1
+    return sx.astype(np.int32), a0, a1
+
+
+def _is_exact_half(src: int, dst: int) -> bool:
+    return src == 2 * dst
+
+
+@partial(jax.jit, static_argnames=("dst_h", "dst_w"))
+def resize_u8_linear(img_u8: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray:
+    """(H,W,C) or (H,W) uint8 -> (dst_h,dst_w,[C]) uint8, bit-equal to
+    cv2.resize(img, (dst_w, dst_h), interpolation=cv2.INTER_LINEAR)."""
+    squeeze = img_u8.ndim == 2
+    if squeeze:
+        img_u8 = img_u8[..., None]
+    src_h, src_w = img_u8.shape[:2]
+
+    if _is_exact_half(src_h, dst_h) and _is_exact_half(src_w, dst_w):
+        # 0.5x: all coefficients are 1024 and the fixed-point pipeline
+        # reduces exactly to (p00+p01+p10+p11 + 2) >> 2 — one reduce_window.
+        s = jax.lax.reduce_window(
+            img_u8.astype(jnp.int32), 0, jax.lax.add, (2, 2, 1), (2, 2, 1), "VALID"
+        )
+        out = ((s + 2) >> 2).astype(jnp.uint8)
+        return out[..., 0] if squeeze else out
+
+    x_idx, xa0, xa1 = _axis_coeffs(src_w, dst_w)
+    y_idx, yb0, yb1 = _axis_coeffs(src_h, dst_h)
+
+    img_i = img_u8.astype(jnp.int32)
+    # horizontal pass: alpha-weighted int32 sums (static column gather)
+    c0 = jnp.take(img_i, jnp.asarray(x_idx), axis=1)
+    c1 = jnp.take(img_i, jnp.asarray(np.minimum(x_idx + 1, src_w - 1)), axis=1)
+    rows = c0 * jnp.asarray(xa0)[None, :, None] + c1 * jnp.asarray(xa1)[None, :, None]
+
+    # vertical pass with the SSE2 fixed-point rounding
+    r0 = jnp.take(rows, jnp.asarray(y_idx), axis=0) >> 4
+    r1 = jnp.take(rows, jnp.asarray(np.minimum(y_idx + 1, src_h - 1)), axis=0) >> 4
+    b0 = jnp.asarray(yb0)[:, None, None]
+    b1 = jnp.asarray(yb1)[:, None, None]
+    acc = ((r0 * b0) >> 16) + ((r1 * b1) >> 16)
+    out = jnp.clip((acc + 2) >> 2, 0, 255).astype(jnp.uint8)
+    return out[..., 0] if squeeze else out

@@ -263,6 +263,7 @@ def _track_video_fused(args, config, logger, reader, detector, tracker_cfg,
         tracker_step, tracker_state, src_h, src_w,
         use_gmc=bool(getattr(tracker_cfg, "use_gmc", False)),
         chunk=chunk,
+        with_reid=bool(getattr(tracker_cfg, "with_reid", False)),
     )
     min_match_warning = 4
 

@@ -26,7 +26,7 @@ features are the cross-chunk carry.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -39,6 +39,50 @@ from geotrax_tpu.ops.ransac import ransac_fit
 
 GMC_FEATURES = 512         # standalone-GMC corner budget per frame
 GMC_HYPOTHESES = 256
+
+
+@lru_cache(maxsize=2)
+def _emb_projection(din: int, dout: int):
+    """Fixed orthonormal-ish projection for the appearance embedding (a
+    learned ReID head has no shipped weights in the reference either —
+    cfg tracker.botsort.model: auto; this is the deterministic stand-in)."""
+    rng = np.random.default_rng(11)
+    m = rng.normal(0.0, 1.0, (din, dout))
+    q, _ = np.linalg.qr(m)
+    return q.astype(np.float32)
+
+
+def embed_boxes(frames_u8: jnp.ndarray, boxes_xywh: jnp.ndarray,
+                emb_dim: int = 64) -> jnp.ndarray:
+    """(C,H,W,3) uint8 + (C,M,4) full-res cxcywh -> (C,M,emb_dim) L2-normed
+    appearance embeddings: a 32x32 RGB patch at each box center on the
+    0.5x-pooled image, 4x4-averaged per channel, projected through a fixed
+    orthonormal matrix. Pure texture+color signature — enough for the
+    appearance-vs-geometry disambiguation the ReID cost needs (tests pin the
+    crossing-targets behavior), with no external weights."""
+    from geotrax_tpu.ops.features import patches32
+
+    c, h, w = frames_u8.shape[:3]
+    h2, w2 = h // 2, w // 2
+    f = frames_u8.astype(jnp.float32)
+    pooled = 0.25 * (f[:, 0::2, 0::2] + f[:, 0::2, 1::2]
+                     + f[:, 1::2, 0::2] + f[:, 1::2, 1::2])  # (C,H2,W2,3)
+    x0 = jnp.clip((boxes_xywh[..., 0] * 0.5).astype(jnp.int32) - 16, 0, w2 - 32)
+    y0 = jnp.clip((boxes_xywh[..., 1] * 0.5).astype(jnp.int32) - 16, 0, h2 - 32)
+    chans = [
+        jax.vmap(patches32)(pooled[..., ch], x0, y0)  # (C,M,32,32)
+        for ch in range(3)
+    ]
+    feats = []
+    for p in chans:
+        cm = p.shape[:2]
+        pooled8 = p.reshape(cm + (8, 4, 8, 4)).mean(axis=(3, 5))  # (C,M,8,8)
+        feats.append(pooled8.reshape(cm + (64,)))
+    flat = jnp.concatenate(feats, axis=-1)  # (C,M,192)
+    proj = jnp.asarray(_emb_projection(flat.shape[-1], emb_dim))
+    with jax.default_matmul_precision("highest"):
+        emb = flat @ proj
+    return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
 
 
 class RefFeatures(NamedTuple):
@@ -92,7 +136,7 @@ class FusedExtractor:
 
     def __init__(self, detector, stabilo_cfg: Optional[dict], tracker_step,
                  tracker_state, src_h: int, src_w: int, use_gmc: bool,
-                 chunk: int = 16, rng_seed: int = 0):
+                 chunk: int = 16, rng_seed: int = 0, with_reid: bool = False):
         from geotrax_tpu.stabilize import Stabilizer
 
         self.detector = detector
@@ -101,6 +145,7 @@ class FusedExtractor:
         self.tracker_step = tracker_step
         self.state = tracker_state
         self.use_gmc = use_gmc
+        self.with_reid = with_reid
         self.stab_on = stabilo_cfg is not None
         self._detect = detector.batch_trace(src_h, src_w)
 
@@ -168,6 +213,9 @@ class FusedExtractor:
         c = frames_u8.shape[0]
         det = self._detect(frames_u8)
         det_boxes, det_valid = det["boxes_xywh"], det["valid"]
+        det_emb = None
+        if self.with_reid:
+            det_emb = embed_boxes(frames_u8, det_boxes)
         eye = jnp.eye(3)
 
         keys = jax.random.split(key, c + 1)
@@ -254,13 +302,19 @@ class FusedExtractor:
         if gmc is None:
             gmc = jnp.tile(eye[None], (c, 1, 1))
 
+        if det_emb is None:
+            det_emb_seq = jnp.zeros((c, 1, 1))  # placeholder (unused)
+        else:
+            det_emb_seq = det_emb
+
         def body(carry, inp):
             st = carry
-            b, s, cl, v, g, fid, t = inp
+            b, s, cl, v, g, fid, t, de = inp
 
             def run(st):
                 return self.tracker_step(
-                    st, b, s, cl, v, fid, g if self.use_gmc else None
+                    st, b, s, cl, v, fid, g if self.use_gmc else None,
+                    de if self.with_reid else None,
                 )
 
             def skip(st):
@@ -281,7 +335,7 @@ class FusedExtractor:
         state, outs = jax.lax.scan(
             body, state,
             (det_boxes, det["scores"], det["classes"], det_valid, gmc, fids,
-             jnp.arange(c)),
+             jnp.arange(c), det_emb_seq),
         )
 
         box_stab = jax.vmap(_transform_boxes_h)(h, outs.box_xywh)

@@ -58,6 +58,17 @@ class TrackerConfig(NamedTuple):
     kf_fmt: str = "xyah"          # 'xyah' (bytetrack lineage) | 'xywh' (botsort)
     use_gmc: bool = False         # apply camera-motion homography to predictions
     max_tracks: int = 256
+    # ---- ReID appearance modeling (BoT-SORT / Deep OC-SORT / TrackTrack;
+    # reference cfg tracker.botsort.with_reid/proximity_thresh/
+    # appearance_thresh, deepocsort.alpha_fixed_emb)
+    with_reid: bool = False
+    proximity_thresh: float = 0.5
+    appearance_thresh: float = 0.8
+    emb_alpha: float = 0.9        # EMA factor for track embeddings
+    adaptive_alpha: bool = False  # Deep OC-SORT confidence-adaptive EMA
+
+
+EMB_DIM = 64  # appearance-embedding width (on-device patch projection)
 
 
 HIST = 8  # observation-history ring length (covers delta_t <= 7)
@@ -78,6 +89,7 @@ class TrackerState(NamedTuple):
     obs_hist: jnp.ndarray     # (K, HIST, 4) observation ring, newest last
     hist_frame: jnp.ndarray   # (K, HIST) frame id per ring entry (0 = none)
     occ: jnp.ndarray          # (K,) int32 occlusion counter (fasttrack)
+    emb: jnp.ndarray          # (K, EMB_DIM) EMA appearance embedding (L2-normed)
 
 
 class FrameOutput(NamedTuple):
@@ -106,6 +118,7 @@ def init_state(cfg: TrackerConfig) -> TrackerState:
         obs_hist=jnp.zeros((k, HIST, 4)),
         hist_frame=jnp.zeros((k, HIST), jnp.int32),
         occ=jnp.zeros((k,), jnp.int32),
+        emb=jnp.zeros((k, EMB_DIM)),
     )
 
 
@@ -125,8 +138,31 @@ def _fused(cost, det_scores, enable: bool):
     return 1.0 - (1.0 - cost) * det_scores[None, :]
 
 
+def _l2_normalize(v, axis=-1, eps=1e-12):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), eps)
+
+
+def _emb_distance(track_emb, det_emb):
+    """Cosine distance (K,M) between L2-normalized embeddings — one MXU
+    matmul (ultralytics matching.embedding_distance semantics)."""
+    with jax.default_matmul_precision("highest"):
+        return 1.0 - track_emb @ det_emb.T
+
+
+def _ema_alpha(cfg: TrackerConfig, det_scores):
+    """Per-detection EMA factor. BoT-SORT uses a fixed alpha; Deep OC-SORT
+    scales it by detection confidence (alpha_fixed_emb + trust blending)."""
+    if not cfg.adaptive_alpha:
+        return jnp.full_like(det_scores, cfg.emb_alpha)
+    trust = jnp.clip(
+        (det_scores - cfg.track_high_thresh) / max(1.0 - cfg.track_high_thresh, 1e-6),
+        0.0, 1.0,
+    )
+    return cfg.emb_alpha + (1.0 - cfg.emb_alpha) * (1.0 - trust)
+
+
 def _apply_matches(state: TrackerState, cfg: TrackerConfig, det_boxes, det_scores,
-                   det_cls, row_col, matched, frame_id) -> TrackerState:
+                   det_cls, row_col, matched, frame_id, det_emb=None) -> TrackerState:
     """KF-update every matched slot with its assigned detection."""
     safe_col = jnp.clip(row_col, 0, det_boxes.shape[0] - 1)
     meas = kalman.measurement_from_xywh(det_boxes[safe_col], fmt=cfg.kf_fmt)
@@ -139,7 +175,14 @@ def _apply_matches(state: TrackerState, cfg: TrackerConfig, det_boxes, det_score
         [state.hist_frame[:, 1:],
          jnp.full((state.hist_frame.shape[0], 1), frame_id, jnp.int32)], axis=1
     )
+    new_emb = state.emb
+    if cfg.with_reid and det_emb is not None:
+        feat = _l2_normalize(det_emb[safe_col])
+        alpha = _ema_alpha(cfg, det_scores[safe_col])[:, None]
+        smooth = _l2_normalize(alpha * state.emb + (1.0 - alpha) * feat)
+        new_emb = jnp.where(m[:, None], smooth, state.emb)
     return state._replace(
+        emb=new_emb,
         kf_mean=jnp.where(m[:, None], upd.mean, state.kf_mean),
         kf_cov=jnp.where(m[:, None, None], upd.cov, state.kf_cov),
         status=jnp.where(m, TRACKED, state.status),
@@ -154,7 +197,7 @@ def _apply_matches(state: TrackerState, cfg: TrackerConfig, det_boxes, det_score
 
 
 def _spawn_new(state: TrackerState, cfg: TrackerConfig, det_boxes, det_scores,
-               det_cls, spawn_mask, frame_id) -> TrackerState:
+               det_cls, spawn_mask, frame_id, det_emb=None) -> TrackerState:
     """Allocate empty slots for new tracks, preserving detection order for ID
     sequencing (matches ultralytics id assignment order).
 
@@ -198,7 +241,12 @@ def _spawn_new(state: TrackerState, cfg: TrackerConfig, det_boxes, det_scores,
         mask = recv.reshape(recv.shape + (1,) * (old.ndim - 1))
         return jnp.where(mask, new, old)
 
+    emb_new = state.emb
+    if cfg.with_reid and det_emb is not None:
+        emb_new = pick(_l2_normalize(det_emb[safe_det]), state.emb)
+
     return state._replace(
+        emb=emb_new,
         kf_mean=pick(init.mean, state.kf_mean),
         kf_cov=pick(init.cov, state.kf_cov),
         status=pick(jnp.full((k,), 1, jnp.int32) * status_new, state.status),
@@ -246,16 +294,26 @@ def predict_stage(state: TrackerState, cfg: TrackerConfig,
 
 
 def byte_associate(state: TrackerState, cfg: TrackerConfig, det_boxes, det_scores,
-                   det_cls, det_valid, frame_id):
+                   det_cls, det_valid, frame_id, det_emb=None):
     """The BYTE two-stage association schedule; returns the updated state."""
     high = det_valid & (det_scores >= cfg.track_high_thresh)
     low = det_valid & (det_scores > cfg.track_low_thresh) & (det_scores < cfg.track_high_thresh)
 
     # ---- stage 1: tracked + lost vs high-confidence detections
     pool = (state.status == TRACKED) | (state.status == LOST)
-    cost1 = _fused(_iou_cost(state, cfg, det_boxes), det_scores, cfg.fuse_score)
+    iou_d = _iou_cost(state, cfg, det_boxes)
+    cost1 = _fused(iou_d, det_scores, cfg.fuse_score)
+    if cfg.with_reid and det_emb is not None:
+        # BoT-SORT appearance fusion (ultralytics get_dists semantics):
+        # halved cosine distance, gated by appearance and IoU proximity,
+        # combined with the motion cost by elementwise min.
+        emb_d = _emb_distance(state.emb, _l2_normalize(det_emb)) / 2.0
+        emb_d = jnp.where(emb_d > cfg.appearance_thresh, 1.0, emb_d)
+        emb_d = jnp.where(iou_d > cfg.proximity_thresh, 1.0, emb_d)
+        cost1 = jnp.minimum(cost1, emb_d)
     col1, m1 = masked_assignment(cost1, pool, high, cfg.match_thresh)
-    state = _apply_matches(state, cfg, det_boxes, det_scores, det_cls, col1, m1, frame_id)
+    state = _apply_matches(state, cfg, det_boxes, det_scores, det_cls, col1, m1,
+                           frame_id, det_emb)
     det_used = jnp.zeros_like(det_valid).at[jnp.where(m1, col1, det_boxes.shape[0])].set(
         True, mode="drop"
     )
@@ -284,7 +342,8 @@ def byte_associate(state: TrackerState, cfg: TrackerConfig, det_boxes, det_score
 
     # ---- new tracks from remaining high dets above the init threshold
     spawn = high & ~det_used & (det_scores >= cfg.new_track_thresh)
-    state = _spawn_new(state, cfg, det_boxes, det_scores, det_cls, spawn, frame_id)
+    state = _spawn_new(state, cfg, det_boxes, det_scores, det_cls, spawn, frame_id,
+                       det_emb)
 
     # ---- prune expired lost tracks
     expired = (state.status == LOST) & (frame_id - state.last_frame > cfg.track_buffer)
@@ -294,10 +353,11 @@ def byte_associate(state: TrackerState, cfg: TrackerConfig, det_boxes, det_score
 
 @partial(jax.jit, static_argnames=("cfg",))
 def byte_step(state: TrackerState, det_boxes, det_scores, det_cls, det_valid,
-              frame_id, cfg: TrackerConfig, gmc_h=None):
+              frame_id, cfg: TrackerConfig, gmc_h=None, det_emb=None):
     """One tracker frame: predict -> associate -> emit active tracks."""
     state = predict_stage(state, cfg, gmc_h)
-    state = byte_associate(state, cfg, det_boxes, det_scores, det_cls, det_valid, frame_id)
+    state = byte_associate(state, cfg, det_boxes, det_scores, det_cls, det_valid,
+                           frame_id, det_emb)
     active = (state.status == TRACKED) & (state.last_frame == frame_id)
     out = FrameOutput(
         track_id=state.track_id,
@@ -324,12 +384,17 @@ def make_tracker(name: str, params: dict, max_tracks: int = 256):
         fuse_score=bool(params.get("fuse_score", True)),
         max_tracks=max_tracks,
     )
+    reid = dict(
+        with_reid=bool(params.get("with_reid", False)),
+        proximity_thresh=float(params.get("proximity_thresh", 0.5)),
+        appearance_thresh=float(params.get("appearance_thresh", 0.8)),
+    )
     if name == "bytetrack":
         cfg = TrackerConfig(kf_fmt="xyah", use_gmc=False, **common)
         step = byte_step
     elif name == "botsort":
         use_gmc = params.get("gmc_method", "sparseOptFlow") not in (None, "none", "None")
-        cfg = TrackerConfig(kf_fmt="xywh", use_gmc=use_gmc, **common)
+        cfg = TrackerConfig(kf_fmt="xywh", use_gmc=use_gmc, **common, **reid)
         step = byte_step
     elif name in ("ocsort", "deepocsort"):
         from geotrax_tpu.track.ocsort import make_ocsort_step
@@ -346,7 +411,7 @@ def make_tracker(name: str, params: dict, max_tracks: int = 256):
     else:
         raise ValueError(f"Unknown tracker '{name}'")
 
-    def step_fn(state, boxes, scores, cls, valid, frame_id, gmc_h=None):
-        return step(state, boxes, scores, cls, valid, frame_id, cfg, gmc_h)
+    def step_fn(state, boxes, scores, cls, valid, frame_id, gmc_h=None, det_emb=None):
+        return step(state, boxes, scores, cls, valid, frame_id, cfg, gmc_h, det_emb)
 
     return cfg, init_state(cfg), step_fn

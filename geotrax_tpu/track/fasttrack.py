@@ -43,7 +43,8 @@ def make_fasttrack_step(params: dict, common: dict):
     cfg = TrackerConfig(kf_fmt="xyah", use_gmc=False, **common)
 
     @partial(jax.jit, static_argnames=("cfg_",))
-    def step(state, det_boxes, det_scores, det_cls, det_valid, frame_id, cfg_, gmc_h=None):
+    def step(state, det_boxes, det_scores, det_cls, det_valid, frame_id, cfg_,
+             gmc_h=None, det_emb=None):
         # ---- occlusion onset analysis on current track boxes
         tboxes = xywh_to_xyxy(base._track_boxes(state, cfg_))
         live = state.status == TRACKED

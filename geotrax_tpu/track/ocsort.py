@@ -67,10 +67,23 @@ def make_ocsort_step(params: dict, common: dict, deep: bool = False):
     inertia = float(params.get("inertia", 0.2))
     use_byte = bool(params.get("use_byte", False))
     use_gmc = deep and params.get("gmc_method", "none") not in (None, "none", "None")
-    cfg = TrackerConfig(kf_fmt="xyah", use_gmc=use_gmc, **common)
+    reid = {}
+    if deep:
+        # Deep OC-SORT: EMA appearance embeddings with a confidence-adaptive
+        # factor (reference cfg tracker.deepocsort.alpha_fixed_emb /
+        # appearance_thresh / with_reid)
+        reid = dict(
+            with_reid=bool(params.get("with_reid", False)),
+            proximity_thresh=float(params.get("proximity_thresh", 0.5)),
+            appearance_thresh=float(params.get("appearance_thresh", 0.9)),
+            emb_alpha=float(params.get("alpha_fixed_emb", 0.95)),
+            adaptive_alpha=True,
+        )
+    cfg = TrackerConfig(kf_fmt="xyah", use_gmc=use_gmc, **common, **reid)
 
     @partial(jax.jit, static_argnames=("cfg_",))
-    def step(state, det_boxes, det_scores, det_cls, det_valid, frame_id, cfg_, gmc_h=None):
+    def step(state, det_boxes, det_scores, det_cls, det_valid, frame_id, cfg_,
+             gmc_h=None, det_emb=None):
         state = base.predict_stage(state, cfg_, gmc_h)
 
         high = det_valid & (det_scores >= cfg_.track_high_thresh)
@@ -81,9 +94,17 @@ def make_ocsort_step(params: dict, common: dict, deep: bool = False):
         # stage 1: tracked + lost vs high dets, IoU + OCM velocity cost
         pool = (state.status == TRACKED) | (state.status == LOST)
         was_lost = state.status == LOST
-        cost = base._iou_cost(state, cfg_, det_boxes)
-        cost = cost + _ocm_cost(state, det_boxes, delta_t, inertia)
+        iou_d = base._iou_cost(state, cfg_, det_boxes)
+        cost = iou_d + _ocm_cost(state, det_boxes, delta_t, inertia)
         cost = base._fused(cost, det_scores, cfg_.fuse_score)
+        if cfg_.with_reid and det_emb is not None:
+            # appearance term: halved cosine distance, gated by the
+            # appearance threshold and IoU proximity (Deep OC-SORT flavor of
+            # the BoT-SORT fusion)
+            emb_d = base._emb_distance(state.emb, base._l2_normalize(det_emb)) / 2.0
+            emb_d = jnp.where(emb_d > cfg_.appearance_thresh, 1.0, emb_d)
+            emb_d = jnp.where(iou_d > cfg_.proximity_thresh, 1.0, emb_d)
+            cost = jnp.minimum(cost, emb_d)
         col1, m1 = masked_assignment(cost, pool, high, cfg_.match_thresh)
 
         # OCR: re-anchor re-found lost tracks on their last observation before
@@ -98,7 +119,8 @@ def make_ocsort_step(params: dict, common: dict, deep: bool = False):
             kf_mean=jnp.where(refound[:, None], re_init.mean, state.kf_mean),
             kf_cov=jnp.where(refound[:, None, None], re_init.cov, state.kf_cov),
         )
-        state = base._apply_matches(state, cfg_, det_boxes, det_scores, det_cls, col1, m1, frame_id)
+        state = base._apply_matches(state, cfg_, det_boxes, det_scores, det_cls,
+                                    col1, m1, frame_id, det_emb)
         det_used = jnp.zeros_like(det_valid).at[
             jnp.where(m1, col1, det_boxes.shape[0])
         ].set(True, mode="drop")
@@ -134,7 +156,8 @@ def make_ocsort_step(params: dict, common: dict, deep: bool = False):
         state = state._replace(status=jnp.where(drop_tent, EMPTY, state.status))
 
         spawn = high & ~det_used & (det_scores >= cfg_.new_track_thresh)
-        state = base._spawn_new(state, cfg_, det_boxes, det_scores, det_cls, spawn, frame_id)
+        state = base._spawn_new(state, cfg_, det_boxes, det_scores, det_cls, spawn,
+                                frame_id, det_emb)
         expired = (state.status == LOST) & (frame_id - state.last_frame > cfg_.track_buffer)
         state = state._replace(status=jnp.where(expired, EMPTY, state.status))
 

@@ -48,15 +48,27 @@ def make_tracktrack_step(params: dict, common: dict):
     min_track_len = int(params.get("min_track_len", 3))
     lost_match_thr = float(params.get("lost_match_thr", 0.0))
     use_gmc = params.get("gmc_method", "sparseOptFlow") not in (None, "none", "None")
-    cfg = TrackerConfig(kf_fmt="xywh", use_gmc=use_gmc, **common)
+    cfg = TrackerConfig(
+        kf_fmt="xywh", use_gmc=use_gmc,
+        with_reid=bool(params.get("with_reid", False)),
+        proximity_thresh=float(params.get("proximity_thresh", 0.5)),
+        appearance_thresh=float(params.get("appearance_thresh", 0.8)),
+        **common,
+    )
     num_rounds = max(1, int(round(cfg.match_thresh / max(reduce_step, 1e-3))) // 4)
     num_rounds = min(num_rounds, 4)
 
-    def multi_cue_cost(state, cfg_, det_boxes, det_scores):
+    def multi_cue_cost(state, cfg_, det_boxes, det_scores, det_emb=None):
         tb = xywh_to_xyxy(base._track_boxes(state, cfg_))
         db = xywh_to_xyxy(det_boxes)
         hm = 1.0 - hmiou_matrix(tb, db)
-        appearance = hm  # ReID off (no weights shipped): HMIoU fallback
+        if cfg_.with_reid and det_emb is not None:
+            # the reference's default 0.5-weight ReID term (cfg
+            # tracker.tracktrack.reid_weight): cosine distance of the
+            # on-device appearance embeddings
+            appearance = base._emb_distance(state.emb, base._l2_normalize(det_emb))
+        else:
+            appearance = hm  # ReID off: HMIoU fallback
         conf_dist = jnp.abs(state.score[:, None] - det_scores[None, :])
         angle = _corner_angle_cost(base._track_boxes(state, cfg_), det_boxes)
         cost = iou_w * hm + reid_w * appearance + conf_w * conf_dist + angle_w * angle
@@ -68,7 +80,8 @@ def make_tracktrack_step(params: dict, common: dict):
         return cost + penalty_p * low_det + penalty_q * lost_track
 
     @partial(jax.jit, static_argnames=("cfg_",))
-    def step(state, det_boxes, det_scores, det_cls, det_valid, frame_id, cfg_, gmc_h=None):
+    def step(state, det_boxes, det_scores, det_cls, det_valid, frame_id, cfg_,
+             gmc_h=None, det_emb=None):
         state = base.predict_stage(state, cfg_, gmc_h)
 
         considered = det_valid & (det_scores > cfg_.track_low_thresh)
@@ -81,12 +94,12 @@ def make_tracktrack_step(params: dict, common: dict):
         track_done = jnp.zeros_like(pool)
         for r in range(num_rounds):
             gate = cfg_.match_thresh - r * reduce_step
-            cost = multi_cue_cost(state, cfg_, det_boxes, det_scores)
+            cost = multi_cue_cost(state, cfg_, det_boxes, det_scores, det_emb)
             col, m = masked_assignment(
                 cost, pool & ~track_done, considered & ~det_used, gate
             )
             state = base._apply_matches(
-                state, cfg_, det_boxes, det_scores, det_cls, col, m, frame_id
+                state, cfg_, det_boxes, det_scores, det_cls, col, m, frame_id, det_emb
             )
             det_used = det_used.at[jnp.where(m, col, det_boxes.shape[0])].set(True, mode="drop")
             track_done = track_done | m
@@ -94,10 +107,10 @@ def make_tracktrack_step(params: dict, common: dict):
         # relaxed rebind for still-lost tracks
         if lost_match_thr > 0.0:
             still_lost = (state.status == LOST) & ~track_done
-            cost = multi_cue_cost(state, cfg_, det_boxes, det_scores)
+            cost = multi_cue_cost(state, cfg_, det_boxes, det_scores, det_emb)
             col, m = masked_assignment(cost, still_lost, considered & ~det_used, lost_match_thr)
             state = base._apply_matches(
-                state, cfg_, det_boxes, det_scores, det_cls, col, m, frame_id
+                state, cfg_, det_boxes, det_scores, det_cls, col, m, frame_id, det_emb
             )
             det_used = det_used.at[jnp.where(m, col, det_boxes.shape[0])].set(True, mode="drop")
 
@@ -121,7 +134,8 @@ def make_tracktrack_step(params: dict, common: dict):
         overlap = iou_matrix(db, db)
         vs_used = jnp.where(cand[:, None] & det_used[None, :], overlap, 0.0)
         cand = cand & (jnp.max(vs_used, axis=1) < tai_thr)
-        state = base._spawn_new(state, cfg_, det_boxes, det_scores, det_cls, cand, frame_id)
+        state = base._spawn_new(state, cfg_, det_boxes, det_scores, det_cls, cand,
+                                frame_id, det_emb)
 
         expired = (state.status == LOST) & (frame_id - state.last_frame > cfg_.track_buffer)
         state = state._replace(status=jnp.where(expired, EMPTY, state.status))

@@ -231,3 +231,62 @@ def test_pallas_fast_kernel_parity():
     got = np.asarray(fast_score_map(jnp.asarray(img), 20.0, interpret=True))
     np.testing.assert_array_equal(got, ref)
     assert (ref > 0).sum() > 100  # the image actually has corners
+
+
+def test_pallas_patches_kernel_parity():
+    """The VMEM patch-extraction kernel must reproduce direct slicing
+    (interpreter mode on CPU; the TPU unoriented-describe path uses it)."""
+    from geotrax_tpu.ops.pallas_patches import extract_patches
+
+    rng = np.random.default_rng(21)
+    img = rng.uniform(0, 255, (160, 384)).astype(np.float32)
+    x0 = rng.integers(0, 384 - 32, (70,)).astype(np.int32)
+    y0 = rng.integers(0, 160 - 32, (70,)).astype(np.int32)
+    got = np.asarray(extract_patches(jnp.asarray(img), jnp.asarray(x0),
+                                     jnp.asarray(y0), interpret=True))
+    for k in range(70):
+        np.testing.assert_array_equal(
+            got[k], img[y0[k]:y0[k] + 32, x0[k]:x0[k] + 32]
+        )
+
+
+def test_fast_score_map_xla_parity():
+    """The bit-packed pure-XLA FAST score map must equal the roll-based
+    reference (it replaces the Pallas dispatch in the vmapped fused path)."""
+    from geotrax_tpu.ops.features import fast_score_map_xla
+    from geotrax_tpu.ops.pallas_fast import fast_score_map_reference
+
+    img = textured_image(h=260, w=400, seed=31)[..., 0].astype(np.float32)
+    ref = np.asarray(fast_score_map_reference(jnp.asarray(img), 20.0))
+    got = np.asarray(fast_score_map_xla(jnp.asarray(img), 20.0))
+    np.testing.assert_array_equal(got, ref)
+    assert (ref > 0).sum() > 100
+
+
+def test_packed_plane_descriptors_match_patch_path():
+    """The packed-plane descriptor bits must equal the direct patch+selection
+    evaluation of the same tests."""
+    from geotrax_tpu.ops.features import (
+        _gaussian_blur,
+        _unoriented_selection,
+        describe,
+        fast_detect,
+        patches32,
+    )
+
+    img = textured_image(h=240, w=320, seed=32)[..., 0].astype(np.float32)
+    gray = jnp.asarray(img)
+    kps = features.fast_detect(gray, 128, oriented=False)
+    got = np.asarray(features.describe(gray, kps, oriented=False))
+
+    smoothed = _gaussian_blur(gray, sigma=2.0)
+    p = 32
+    half = p // 2 - 1
+    x0 = jnp.clip(kps.xy[:, 0].astype(jnp.int32) - half, 0, 320 - p)
+    y0 = jnp.clip(kps.xy[:, 1].astype(jnp.int32) - half, 0, 240 - p)
+    patches = patches32(smoothed, x0, y0)
+    sel = jnp.asarray(_unoriented_selection(256, p))
+    vals = (patches.reshape(-1, p * p) @ sel).reshape(-1, 256, 2)
+    want = np.asarray((vals[..., 0] < vals[..., 1]).astype(jnp.float32))
+    valid = np.asarray(kps.valid)
+    np.testing.assert_array_equal(got[valid], want[valid])
