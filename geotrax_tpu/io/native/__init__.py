@@ -57,6 +57,10 @@ def load_library():
     lib.gtx_read_frame.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.gtx_close.restype = None
     lib.gtx_close.argtypes = [ctypes.c_void_p]
+    lib.gtx_keyframe_indices.restype = ctypes.c_long
+    lib.gtx_keyframe_indices.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_long), ctypes.c_long,
+    ]
     _lib = lib
     return lib
 

@@ -153,4 +153,37 @@ int gtx_read_frame(void* h, uint8_t* rgb_out) {
 
 void gtx_close(void* h) { destroy(static_cast<Decoder*>(h)); }
 
+// Keyframe scan: walk the packet stream (no decode) recording the frame
+// index of every packet flagged AV_PKT_FLAG_KEY. The data-prep cut tools
+// snap cut starts to these indices so re-encoded clips begin on an I-frame
+// (reference cut_merged_videos_and_logs.py's I-frame snapping capability).
+// Returns the number of keyframes written into out (up to max_out), or -1.
+long gtx_keyframe_indices(const char* path, long* out, long max_out) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
+  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  int stream_index =
+      av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (stream_index < 0) {
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  AVPacket* pkt = av_packet_alloc();
+  long frame = 0;
+  long n = 0;
+  while (av_read_frame(fmt, pkt) >= 0) {
+    if (pkt->stream_index == stream_index) {
+      if ((pkt->flags & AV_PKT_FLAG_KEY) && n < max_out) out[n++] = frame;
+      ++frame;
+    }
+    av_packet_unref(pkt);
+  }
+  av_packet_free(&pkt);
+  avformat_close_input(&fmt);
+  return n;
+}
+
 }  // extern "C"

@@ -81,6 +81,26 @@ def probe_video(path: Path | str, backend: Optional[str] = None) -> VideoInfo:
         cap.release()
 
 
+def keyframe_indices(path: Path | str, max_count: int = 1 << 20) -> list[int]:
+    """Frame indices of the video's I-frames (packet-level scan, no decode)
+    via the native libav runtime; empty when only the cv2 backend is
+    available (cv2 exposes no packet flags). The data-prep cut tools use
+    these to snap cut starts onto keyframes."""
+    from geotrax_tpu.io.native import load_library
+
+    try:
+        lib = load_library()
+    except (FileNotFoundError, OSError):
+        return []
+    import ctypes
+
+    buf = (ctypes.c_long * max_count)()
+    n = lib.gtx_keyframe_indices(str(path).encode(), buf, max_count)
+    if n < 0:
+        return []
+    return [int(buf[i]) for i in range(n)]
+
+
 class VideoReader:
     """Sequential frame reader with deterministic indexing and prefetch.
 

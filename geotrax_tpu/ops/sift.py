@@ -1,0 +1,296 @@
+"""SIFT-class scale-space gradient features (RootSIFT) in JAX, TPU-first.
+
+The reference's single accuracy-critical match — BEV master frame to
+orthophoto — runs RootSIFT at a 250k-feature budget through OpenCV
+(reference utils/registration.py:59-77, cfg/default.yaml:158-168). Binary
+FAST/BRIEF descriptors cannot survive that cross-domain gap (different
+sensors, seasons, illumination, 1.5-2.5x scale, rotation); gradient-
+histogram descriptors do. This module rebuilds that capability the TPU way:
+
+- scale space: Gaussian octave pyramid, difference-of-Gaussian response,
+  per-level 3x3 NMS + top-k budgets (fixed shapes; no irregular 3D extrema
+  walk — per-level budgets make the selection compile-time static),
+- orientation: gradient-direction histogram planes smoothed at the
+  keypoint scale; peak + parabolic refinement per keypoint,
+- descriptor: 8 orientation planes with linear bin interpolation, tent
+  (SIFT trilinear) spatial smoothing per cell, 4x4 rotated cell grid
+  sampled bilinearly -> 128-D; L2-normalize, clip 0.2, renormalize, then
+  the RootSIFT map (L1 normalize + sqrt) so L2 distance approximates the
+  Hellinger kernel,
+- matching: blockwise L2 distance on the MXU with running top-2 + mutual
+  cross-check, so a 250k x 250k match streams through memory instead of
+  materializing a 250 GB distance matrix.
+
+Everything is deterministic and fixed-shape per (image size, budget).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geotrax_tpu.ops.features import Matches, _gaussian_blur
+
+N_BINS = 8
+N_CELLS = 4          # 4x4 spatial cells
+DESC_DIM = N_BINS * N_CELLS * N_CELLS  # 128
+
+
+class SiftFeatures(NamedTuple):
+    xy: jnp.ndarray      # (K, 2) level-0 pixel coords
+    score: jnp.ndarray   # (K,)
+    angle: jnp.ndarray   # (K,) radians
+    valid: jnp.ndarray   # (K,)
+    desc: jnp.ndarray    # (K, 128) RootSIFT
+
+
+def _triangle_blur(img: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Separable tent filter (SIFT's trilinear spatial weighting): triangle
+    taps of half-width ``radius`` per axis, zero-padded borders."""
+    taps = np.arange(-radius, radius + 1)
+    k = (1.0 - np.abs(taps) / (radius + 1)).astype(np.float32)
+    k = k / k.sum()
+    h, w = img.shape
+    n = 2 * radius + 1
+    rows = jnp.pad(img, ((0, 0), (radius, radius)))
+    out = sum(k[i] * rows[:, i:i + w] for i in range(n))
+    cols = jnp.pad(out, ((radius, radius), (0, 0)))
+    return sum(k[i] * cols[i:i + h, :] for i in range(n))
+
+
+def _orientation_planes(level_img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gradient magnitude/orientation -> (H,W,8) linearly-interpolated
+    orientation-bin planes (each pixel contributes m*(1-f) and m*f to its
+    two adjacent bins)."""
+    gx = 0.5 * (jnp.roll(level_img, -1, axis=1) - jnp.roll(level_img, 1, axis=1))
+    gy = 0.5 * (jnp.roll(level_img, -1, axis=0) - jnp.roll(level_img, 1, axis=0))
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    theta = jnp.arctan2(gy, gx)  # (-pi, pi]
+    b = (theta / (2 * np.pi) * N_BINS) % N_BINS
+    b0 = jnp.floor(b)
+    frac = b - b0
+    b0 = b0.astype(jnp.int32) % N_BINS
+    b1 = (b0 + 1) % N_BINS
+    planes = jnp.zeros(level_img.shape + (N_BINS,), jnp.float32)
+    oh = jax.nn.one_hot(b0, N_BINS) * (mag * (1 - frac))[..., None]
+    oh1 = jax.nn.one_hot(b1, N_BINS) * (mag * frac)[..., None]
+    return planes + oh + oh1, mag
+
+
+def _bilinear_planes(planes: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """planes (H,W,B); x,y (...,) float -> (..., B) bilinear samples
+    (clamped borders)."""
+    h, w = planes.shape[:2]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    v00 = planes[y0i, x0i]
+    v01 = planes[y0i, x1i]
+    v10 = planes[y1i, x0i]
+    v11 = planes[y1i, x1i]
+    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+            + v10 * (1 - fx) * fy + v11 * fx * fy)
+
+
+def _circular_shift_bins(vals: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
+    """vals (..., B) circularly resampled by a fractional bin ``shift``
+    (broadcast over leading dims): rotation invariance of the histogram."""
+    base = jnp.arange(N_BINS, dtype=jnp.float32)
+    pos = (base + shift[..., None]) % N_BINS
+    p0 = jnp.floor(pos)
+    frac = pos - p0
+    p0 = p0.astype(jnp.int32) % N_BINS
+    p1 = (p0 + 1) % N_BINS
+    v0 = jnp.take_along_axis(vals, p0, axis=-1)
+    v1 = jnp.take_along_axis(vals, p1, axis=-1)
+    return v0 * (1 - frac) + v1 * frac
+
+
+@partial(jax.jit, static_argnames=("budget", "cell"))
+def _level_features(level_img: jnp.ndarray, budget: int, cell: int = 4,
+                    dog_sigma: float = 1.6, edge_thresh: float = 12.0):
+    """Detect + describe on one pyramid level.
+
+    Returns (xy_level (K,2), score, angle, valid, desc (K,128)). xy are in
+    THIS level's pixel coordinates; the caller rescales to level 0.
+    """
+    h, w = level_img.shape
+    g1 = _gaussian_blur(level_img, dog_sigma)
+    g2 = _gaussian_blur(level_img, dog_sigma * 1.6)
+    dog = g1 - g2
+
+    # keypoint score: |DoG| with an edge suppression (Harris-style ratio of
+    # principal curvatures via the DoG Hessian)
+    dxx = jnp.roll(dog, -1, 1) + jnp.roll(dog, 1, 1) - 2 * dog
+    dyy = jnp.roll(dog, -1, 0) + jnp.roll(dog, 1, 0) - 2 * dog
+    dxy = 0.25 * (jnp.roll(jnp.roll(dog, -1, 0), -1, 1)
+                  + jnp.roll(jnp.roll(dog, 1, 0), 1, 1)
+                  - jnp.roll(jnp.roll(dog, -1, 0), 1, 1)
+                  - jnp.roll(jnp.roll(dog, 1, 0), -1, 1))
+    tr = dxx + dyy
+    det = dxx * dyy - dxy * dxy
+    edge_ok = (det > 0) & (tr * tr / jnp.maximum(det, 1e-12)
+                           < (edge_thresh + 1) ** 2 / edge_thresh)
+    score = jnp.where(edge_ok, jnp.abs(dog), 0.0)
+
+    border = 4 * cell  # descriptor support fits inside the image
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    inside = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+    score = jnp.where(inside, score, 0.0)
+    neighborhood = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    score = jnp.where(score >= neighborhood, score, 0.0)
+    top, flat = jax.lax.top_k(score.reshape(-1), budget)
+    kx = (flat % w).astype(jnp.float32)
+    ky = (flat // w).astype(jnp.float32)
+    valid = top > 1e-6
+
+    planes, _mag = _orientation_planes(g1)
+
+    # orientation assignment: bins of the scale-smoothed planes at the kp
+    ori_planes = jax.vmap(
+        lambda p: _gaussian_blur(p, 1.5 * dog_sigma), in_axes=2, out_axes=2
+    )(planes)
+    hist = _bilinear_planes(ori_planes, kx, ky)  # (K,8)
+    peak = jnp.argmax(hist, axis=-1)
+    left = jnp.take_along_axis(hist, ((peak - 1) % N_BINS)[:, None], 1)[:, 0]
+    right = jnp.take_along_axis(hist, ((peak + 1) % N_BINS)[:, None], 1)[:, 0]
+    center = jnp.take_along_axis(hist, peak[:, None], 1)[:, 0]
+    denom = left - 2 * center + right
+    offset = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (left - right) / denom, 0.0)
+    angle = (peak + offset) * (2 * np.pi / N_BINS)
+
+    # descriptor: tent-smoothed orientation planes sampled on a rotated
+    # 4x4 cell grid, bins rotated into the keypoint frame
+    cell_planes = jax.vmap(
+        lambda p: _triangle_blur(p, cell), in_axes=2, out_axes=2
+    )(planes)
+    centers = (np.arange(N_CELLS) - (N_CELLS - 1) / 2.0) * cell  # {-6,-2,2,6}*...
+    gy_, gx_ = np.meshgrid(centers, centers, indexing="ij")
+    grid = np.stack([gx_.ravel(), gy_.ravel()], -1)  # (16,2)
+    cosA = jnp.cos(angle)
+    sinA = jnp.sin(angle)
+    gx_r = cosA[:, None] * grid[None, :, 0] - sinA[:, None] * grid[None, :, 1]
+    gy_r = sinA[:, None] * grid[None, :, 0] + cosA[:, None] * grid[None, :, 1]
+    sx = kx[:, None] + gx_r  # (K,16)
+    sy = ky[:, None] + gy_r
+    cell_vals = _bilinear_planes(cell_planes, sx, sy)  # (K,16,8)
+    shift = angle / (2 * np.pi / N_BINS)
+    cell_vals = _circular_shift_bins(cell_vals, shift[:, None])
+
+    desc = cell_vals.reshape(-1, DESC_DIM)
+    norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    desc = desc / jnp.maximum(norm, 1e-12)
+    desc = jnp.clip(desc, 0.0, 0.2)
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
+    # RootSIFT (reference cfg rsift_eps): L1 normalize + sqrt
+    desc = jnp.sqrt(desc / jnp.maximum(desc.sum(-1, keepdims=True), 1e-8))
+    return jnp.stack([kx, ky], -1), top, angle, valid, desc
+
+
+def detect_and_describe(
+    gray: jnp.ndarray,
+    max_features: int,
+    n_octaves: int = 4,
+    scales_per_octave: int = 2,
+) -> SiftFeatures:
+    """Multi-octave RootSIFT features with a total ``max_features`` budget
+    (split across octaves proportional to pixel counts, like OpenCV SIFT's
+    natural distribution). Octave o, scale s sits at 2^o * r^s downsampling
+    with r = 2^(1/scales_per_octave)."""
+    h, w = gray.shape
+    n_levels = n_octaves * scales_per_octave
+    r = 2.0 ** (1.0 / scales_per_octave)
+    level_scales = [r ** i for i in range(n_levels)]
+    weights = np.array([1.0 / (s * s) for s in level_scales])
+    budgets = np.maximum((max_features * weights / weights.sum()).astype(int), 16)
+
+    xs, scores, angles, valids, descs = [], [], [], [], []
+    for i, s in enumerate(level_scales):
+        lh, lw = int(round(h / s)), int(round(w / s))
+        if min(lh, lw) < 64:
+            break
+        level = gray if s == 1.0 else jax.image.resize(
+            gray, (lh, lw), method="linear"
+        )
+        xy, sc, an, va, de = _level_features(level, int(budgets[i]))
+        xs.append(xy * (h / lh))
+        scores.append(sc * (1.0 + 0.0 * sc))  # per-level scores kept comparable
+        angles.append(an)
+        valids.append(va)
+        descs.append(de)
+
+    return SiftFeatures(
+        xy=jnp.concatenate(xs),
+        score=jnp.concatenate(scores),
+        angle=jnp.concatenate(angles),
+        valid=jnp.concatenate(valids),
+        desc=jnp.concatenate(descs),
+    )
+
+
+@partial(jax.jit, static_argnames=("block",))
+def match_l2(desc_a, valid_a, desc_b, valid_b, ratio: float = 0.55,
+             block: int = 4096) -> Matches:
+    """Blockwise L2 matching with Lowe ratio + mutual cross-check.
+
+    Streams (block x Kb) distance tiles on the MXU with running top-2 per A
+    row and running best per B column — O(Ka*Kb) compute, O(block*Kb)
+    memory, so the reference's 250k-feature budget fits."""
+    ka = desc_a.shape[0]
+    kb = desc_b.shape[0]
+    big = jnp.float32(1e9)
+    pad_a = (-ka) % block
+    desc_ap = jnp.pad(desc_a, ((0, pad_a), (0, 0)))
+    valid_ap = jnp.pad(valid_a, (0, pad_a))
+    n_blocks = (ka + pad_a) // block
+
+    nb2 = jnp.sum(desc_b * desc_b, axis=-1)
+
+    def a_block(carry, i):
+        b_best, b_row = carry  # (Kb,) running best dist + owning A row
+        a = jax.lax.dynamic_slice(desc_ap, (i * block, 0), (block, desc_a.shape[1]))
+        av = jax.lax.dynamic_slice(valid_ap, (i * block,), (block,))
+        with jax.default_matmul_precision("highest"):
+            dots = a @ desc_b.T
+        na2 = jnp.sum(a * a, axis=-1)
+        d2 = jnp.maximum(na2[:, None] + nb2[None, :] - 2.0 * dots, 0.0)
+        d = jnp.sqrt(d2)
+        d = jnp.where(av[:, None] & valid_b[None, :], d, big)
+
+        best_idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+        best = jnp.min(d, axis=1)
+        cols = jnp.arange(kb, dtype=jnp.int32)
+        second = jnp.min(jnp.where(cols[None, :] == best_idx[:, None], big, d), axis=1)
+
+        col_best = jnp.min(d, axis=0)
+        col_row = jnp.argmin(d, axis=0).astype(jnp.int32) + i * block
+        better = col_best < b_best
+        b_best = jnp.where(better, col_best, b_best)
+        b_row = jnp.where(better, col_row, b_row)
+        return (b_best, b_row), (best, second, best_idx)
+
+    (b_best, b_row), (best, second, best_idx) = jax.lax.scan(
+        a_block,
+        (jnp.full((kb,), big), jnp.full((kb,), -1, jnp.int32)),
+        jnp.arange(n_blocks),
+    )
+    best = best.reshape(-1)[:ka]
+    second = second.reshape(-1)[:ka]
+    best_idx = best_idx.reshape(-1)[:ka]
+
+    ratio_ok = best < ratio * second
+    mutual = b_row[best_idx] == jnp.arange(ka, dtype=jnp.int32)
+    valid = valid_a & ratio_ok & mutual & (best < big / 2)
+    return Matches(idx_a=jnp.arange(ka), idx_b=best_idx, valid=valid)

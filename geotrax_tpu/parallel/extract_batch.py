@@ -125,13 +125,54 @@ def extract_videos_batch(sources: list, args, config: dict, logger) -> None:
     iters = [iter(r) for r in readers]
     num_videos = len(sources)
 
-    trackers = []
-    for _ in range(num_videos):
-        _, state, step = make_tracker(
-            main["tracker_active"], main["tracker_params"],
-            max_tracks=max(256, min(max_det, 1024)),
-        )
-        trackers.append({"state": state, "step": step})
+    # ---- vmapped tracker: V slot-state timelines advance in ONE device
+    # program; with --devices D the video axis is sharded over a ('data',)
+    # mesh so each device owns its group of timelines (SURVEY §2.6 "data
+    # parallelism over videos"). Dead (ragged) videos keep stepping but
+    # their state is frozen by the alive mask — bit-equal to stopping.
+    import jax
+
+    tracker_cfg, state0, tracker_step = make_tracker(
+        main["tracker_active"], main["tracker_params"],
+        max_tracks=max(256, min(max_det, 1024)),
+    )
+    vstates = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (num_videos,) + a.shape).copy(), state0
+    )
+    mesh = None
+    n_dev = int(getattr(args, "devices", None) or 1)
+    if n_dev > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        avail = jax.devices()
+        n_dev = min(n_dev, len(avail), num_videos)
+        if num_videos % n_dev == 0 and n_dev > 1:
+            mesh = Mesh(np.asarray(avail[:n_dev]), axis_names=("data",))
+            vstates = jax.tree.map(
+                lambda a: jax.device_put(a, NamedSharding(mesh, P("data"))), vstates
+            )
+            logger.notice(f"Video group sharded over {n_dev} devices.")
+        else:
+            logger.warning(
+                f"--devices {n_dev}: group of {num_videos} videos not divisible; "
+                "running single-device."
+            )
+
+    use_gmc = bool(getattr(tracker_cfg, "use_gmc", False))
+
+    @jax.jit
+    def tracker_vstep(states, boxes, scores, cls_, valid, alive_mask, frame_id, gmc):
+        def one(s, b, sc, c, v, g, al):
+            s2, out = tracker_step(s, b, sc, c, v, frame_id, g if use_gmc else None)
+            s3 = jax.tree.map(
+                lambda new, old: jnp.where(
+                    al.reshape((1,) * new.ndim) if new.ndim else al, new, old
+                ),
+                s2, s,
+            )
+            return s3, out._replace(valid=out.valid & al)
+
+        return jax.vmap(one)(states, boxes, scores, cls_, valid, gmc, alive_mask)
 
     stab = None
     mask_slots = 256
@@ -195,26 +236,41 @@ def extract_videos_batch(sources: list, args, config: dict, logger) -> None:
                     )
 
         internal_frame = frame_idx - cut_left + 1
+        # scatter live detections into full-V arrays (dead rows invalid)
+        md = det_np["boxes_xywh"].shape[1]
+        full_b = np.zeros((num_videos, md, 4), np.float32)
+        full_s = np.zeros((num_videos, md), np.float32)
+        full_c = np.full((num_videos, md), -1, np.int32)
+        full_v = np.zeros((num_videos, md), bool)
+        gmc_all = np.tile(np.eye(3, dtype=np.float32)[None], (num_videos, 1, 1))
+        alive_mask = np.zeros((num_videos,), bool)
         for p, v in enumerate(live_idx):
-            gmc = None
+            full_b[v] = det_np["boxes_xywh"][p]
+            full_s[v] = det_np["scores"][p]
+            full_c[v] = det_np["classes"][p]
+            full_v[v] = det_np["valid"][p]
+            alive_mask[v] = True
             if not first:
                 try:
-                    gmc = jnp.asarray(np.linalg.inv(h_cur[v]) @ h_prev[v])
+                    gmc_all[v] = np.linalg.inv(h_cur[v]) @ h_prev[v]
                 except np.linalg.LinAlgError:
                     logger.warning(
                         f"Frame {frame_idx}, video {v}: singular stabilization H; GMC skipped."
                     )
             h_prev[v] = h_cur[v]
-            trackers[v]["state"], out = trackers[v]["step"](
-                trackers[v]["state"],
-                det["boxes_xywh"][p], det["scores"][p], det["classes"][p],
-                det["valid"][p], internal_frame, gmc,
-            )
-            valid = np.asarray(out.valid)
-            ids = np.asarray(out.track_id)[valid]
-            boxes = np.asarray(out.box_xywh)[valid]
-            scores = np.asarray(out.score)[valid]
-            classes = np.asarray(out.cls)[valid]
+
+        vstates, out = tracker_vstep(
+            vstates, jnp.asarray(full_b), jnp.asarray(full_s), jnp.asarray(full_c),
+            jnp.asarray(full_v), jnp.asarray(alive_mask), internal_frame,
+            jnp.asarray(gmc_all),
+        )
+        out_np = jax.device_get(out)
+        for v in live_idx:
+            valid = out_np.valid[v]
+            ids = out_np.track_id[v][valid]
+            boxes = out_np.box_xywh[v][valid]
+            scores = out_np.score[v][valid]
+            classes = out_np.cls[v][valid]
             if stabilize_on:
                 boxes_stab = boxes if first else impl._transform_boxes(h_cur[v], boxes)
                 rows[v].append(np.column_stack([

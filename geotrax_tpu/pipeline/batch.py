@@ -243,6 +243,10 @@ def parse_cli_args() -> argparse.Namespace:
     batch.add_argument("--parallel-videos", "-pv", type=int, default=1,
                        help="Extract N same-resolution videos in lockstep on the device "
                             "(batched detection + vmapped stabilization/tracking).")
+    batch.add_argument("--devices", "-dv", type=int, default=None,
+                       help="Shard the lockstep video group over the first D devices of "
+                            "a ('data',) mesh — one set of tracker timelines per chip "
+                            "(requires --parallel-videos divisible by D).")
     batch.add_argument("--folders-exclude", "-fe", type=str, nargs="+", default=None,
                        help="Folders to exclude from batch scanning.")
     batch.add_argument("--exclude-patterns", "-ep", type=str, nargs="+", default=None,

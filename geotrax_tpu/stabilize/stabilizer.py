@@ -69,11 +69,13 @@ class Stabilizer:
         self.mask_margin_ratio = float(mask_margin_ratio)
         self.clahe = bool(clahe)
         self.detector_name = detector_name
-        # Scale-space depth by detector family: the SIFT-class detectors of
-        # the reference are scale-invariant (used for the cross-scale
-        # master->ortho registration); the ORB-class per-frame stabilization
-        # is same-scale and runs single-level for speed.
-        self.n_levels = 4 if detector_name in ("sift", "rsift", "kaze", "akaze") else 1
+        # Detector family dispatch: SIFT-class names run the scale-space
+        # gradient (RootSIFT) pipeline with L2 matching — the cross-domain
+        # master->ortho registration needs gradient descriptors (reference
+        # utils/registration.py:59-77); the ORB-class per-frame stabilization
+        # is same-scale and runs the single-level binary pipeline for speed.
+        self.use_sift = detector_name in ("sift", "rsift", "kaze", "akaze")
+        self.n_levels = 4 if self.use_sift else 1
         self.min_match_warning = min_good_match_count_warning
         self.min_inlier_warning = min_inliers_match_count_warning
 
@@ -100,6 +102,19 @@ class Stabilizer:
         if self.mask_use and boxes is not None and len(boxes):
             scaled = jnp.asarray(boxes, jnp.float32) * self.downsample_ratio
             mask = features.boxes_mask(gray.shape, scaled, self.mask_margin_ratio)
+        if self.use_sift:
+            from geotrax_tpu.ops import sift
+
+            feats = sift.detect_and_describe(gray, n_features)
+            valid = feats.valid
+            if mask is not None:
+                xi = jnp.clip(feats.xy[:, 0].astype(jnp.int32), 0, gray.shape[1] - 1)
+                yi = jnp.clip(feats.xy[:, 1].astype(jnp.int32), 0, gray.shape[0] - 1)
+                valid = valid & mask[yi, xi]
+            kps = features.Keypoints(
+                xy=feats.xy, score=feats.score, angle=feats.angle, valid=valid
+            )
+            return kps, feats.desc
         if self.n_levels > 1:
             return features.detect_and_describe_pyramid(
                 gray, n_features, n_levels=self.n_levels, mask=mask
@@ -191,9 +206,16 @@ class Stabilizer:
         else:
             kps, desc = self._prepare(frame, boxes, self.max_features)
             self._cur_counts = (int(ref_kps.valid.sum()), int(kps.valid.sum()))
-            matches = features.match_descriptors(
-                desc, kps.valid, ref_desc, ref_kps.valid, ratio=self.filter_ratio
-            )
+            if self.use_sift:
+                from geotrax_tpu.ops import sift
+
+                matches = sift.match_l2(
+                    desc, kps.valid, ref_desc, ref_kps.valid, ratio=self.filter_ratio
+                )
+            else:
+                matches = features.match_descriptors(
+                    desc, kps.valid, ref_desc, ref_kps.valid, ratio=self.filter_ratio
+                )
             self._cur_matches = int(matches.valid.sum())
             if self._cur_matches < 4:
                 self._cur_h = None

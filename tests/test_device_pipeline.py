@@ -63,6 +63,7 @@ def _make_fx(stab_cfg, use_gmc, chunk=CH):
                           use_gmc=use_gmc, chunk=chunk)
 
 
+@pytest.mark.slow
 def test_fused_stabilization_recovers_translation():
     rng = np.random.default_rng(3)
     scene = _textured(rng, H + 16, W + 16)
@@ -80,6 +81,7 @@ def test_fused_stabilization_recovers_translation():
         np.testing.assert_allclose(np.asarray(out.gmc)[t][0, 2], -1, atol=0.5)
 
 
+@pytest.mark.slow
 def test_fused_standalone_gmc_estimates_pan():
     """stabilize: false + a GMC tracker -> consecutive-frame camera motion is
     still estimated (reference BoT-SORT runs sparse optical flow regardless
@@ -103,6 +105,7 @@ def test_fused_standalone_gmc_estimates_pan():
         np.testing.assert_allclose(gmc[t][1, 2], 0, atol=1.0)
 
 
+@pytest.mark.slow
 def test_fused_gmc_keeps_ids_under_pan_where_identity_loses_them():
     """Tracker-level 'done' criterion for standalone GMC: a fast pan moves
     all boxes 25 px/frame; with gmc the IDs persist, with identity GMC the
@@ -144,6 +147,7 @@ def test_transform_boxes_parity_with_sequential():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_tail_chunk_padding_is_masked():
     """Padded tail frames must not advance tracker state or emit outputs."""
     rng = np.random.default_rng(5)

@@ -1,0 +1,105 @@
+"""DJI SRT flight-log machinery: parse/serialize round trip, telemetry
+extraction across DJI bracket layouts, merge timestamp/counter continuity,
+and the metadata-filter/master-frame tool hooks."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+import dji_srt  # noqa: E402
+
+MAVIC3_BLOCK = """1
+00:00:00,000 --> 00:00:00,033
+<font size="28">FrameCnt: 1, DiffTime: 33ms
+2023-10-04 09:12:58.123
+[iso: 100] [shutter: 1/1000.0] [fnum: 2.8] [ev: 0] [color_md : default] [focal_len: 24.00] [latitude: 37.382276] [longitude: 126.656415] [rel_alt: 148.800 abs_alt: 163.123] </font>
+"""
+
+PHANTOM_BLOCK = """2
+00:00:00,033 --> 00:00:00,066
+<font size="28">SrtCnt : 2, DiffTime : 33ms
+2023-10-04 09:12:58.156
+[iso : 110, shutter : 1/800.0, fnum : 280] [latitude: 37.382279] [longtitude: 126.656418] [altitude: 148.900] </font>
+"""
+
+
+def test_parse_and_roundtrip():
+    blocks = dji_srt.parse_srt(MAVIC3_BLOCK + "\n" + PHANTOM_BLOCK)
+    assert len(blocks) == 2
+    assert blocks[0].start_ms == 0 and blocks[0].end_ms == 33
+    assert blocks[0].frame_count == 1
+    assert blocks[1].frame_count == 2
+    text = dji_srt.format_srt(blocks)
+    again = dji_srt.parse_srt(text)
+    assert [b.body for b in again] == [b.body for b in blocks]
+    assert [(b.start_ms, b.end_ms) for b in again] == [
+        (b.start_ms, b.end_ms) for b in blocks
+    ]
+
+
+def test_telemetry_across_layouts():
+    b1, b2 = dji_srt.parse_srt(MAVIC3_BLOCK + "\n" + PHANTOM_BLOCK)
+    t1 = b1.telemetry()
+    assert t1["latitude"] == pytest.approx(37.382276)
+    assert t1["longitude"] == pytest.approx(126.656415)
+    assert t1["rel_alt"] == pytest.approx(148.8)
+    assert t1["abs_alt"] == pytest.approx(163.123)
+    assert t1["iso"] == 100
+    t2 = b2.telemetry()  # comma layout + longtitude/altitude aliases
+    assert t2["longitude"] == pytest.approx(126.656418)
+    assert t2["rel_alt"] == pytest.approx(148.9)
+
+
+def test_merge_blocks_continuity():
+    part = dji_srt.parse_srt(MAVIC3_BLOCK + "\n" + PHANTOM_BLOCK)
+    merged = dji_srt.merge_blocks([part, part])
+    assert len(merged) == 4
+    # timestamps continue from the first part's end
+    assert merged[2].start_ms == part[-1].end_ms
+    # frame counters continue from the first part's last counter
+    assert merged[2].frame_count == 3
+    assert merged[3].frame_count == 4
+
+
+def test_srt_dataframe_and_write(tmp_path):
+    blocks = dji_srt.parse_srt(MAVIC3_BLOCK + "\n" + PHANTOM_BLOCK)
+    df = dji_srt.srt_dataframe(blocks)
+    assert list(df["frame"]) == [0, 1]
+    assert df["latitude"].iloc[0] == pytest.approx(37.382276)
+    p = tmp_path / "log.srt"
+    dji_srt.write_srt(p, blocks)
+    assert dji_srt.read_srt(p)[1].telemetry()["rel_alt"] == pytest.approx(148.9)
+
+
+def test_companion_srt_base_stem(tmp_path):
+    (tmp_path / "DJI_0212.SRT").write_text(MAVIC3_BLOCK)
+    video = tmp_path / "DJI_0212_trimmed.mp4"
+    video.touch()
+    assert dji_srt.companion_srt(video).name == "DJI_0212.SRT"
+
+
+def test_nearest_location():
+    from cut_merged_videos_and_logs import nearest_location
+
+    locations = {"U": (37.3823, 126.6564), "K": (37.3900, 126.6600)}
+    assert nearest_location(locations, 37.38228, 126.65642) == "U"
+    assert nearest_location(locations, 37.3899, 126.6601) == "K"
+
+
+def test_master_frame_detection_coverage(tmp_path):
+    """Coverage criterion: among hover-stable frames, the one with the most
+    detections in the stage-1 tracks wins (reference
+    find_best_master_frames, tools/find_master_frames.py:276)."""
+    from find_master_frames import detections_per_frame
+
+    rows = []
+    for f, n in [(3, 2), (5, 7), (9, 1)]:
+        for k in range(n):
+            rows.append([f, k + 1, 10, 10, 5, 5, 0, 0.9])
+    np.savetxt(tmp_path / "v.txt", np.asarray(rows, float), delimiter=",")
+    cov = detections_per_frame(tmp_path / "v.txt")
+    assert cov == {3: 2, 5: 7, 9: 1}

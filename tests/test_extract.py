@@ -171,6 +171,7 @@ def run_hermetic_extraction(tmp_path, monkeypatch, stabilize=True, interpolate=F
     return source
 
 
+@pytest.mark.slow
 def test_end_to_end_extraction(tmp_path, monkeypatch):
     source = run_hermetic_extraction(tmp_path, monkeypatch)
     tracks_file = tmp_path / "results" / "V_test.txt"
@@ -208,6 +209,7 @@ def test_end_to_end_without_stabilization(tmp_path, monkeypatch):
     assert not (tmp_path / "results" / "V_test_vid_transf.txt").exists()
 
 
+@pytest.mark.slow
 def test_end_to_end_with_interpolation(tmp_path, monkeypatch):
     run_hermetic_extraction(tmp_path, monkeypatch, interpolate=True, drop_frames=(7, 8))
     tracks = np.loadtxt(tmp_path / "results" / "V_test.txt", delimiter=",")

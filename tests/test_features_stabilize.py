@@ -85,6 +85,7 @@ def test_match_self_is_identity():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [1, 2])
 def test_registration_recovers_known_warp(seed):
     """Warp an image by a known small homography; the feature+RANSAC stack
@@ -106,6 +107,7 @@ def test_registration_recovers_known_warp(seed):
     assert err < 1.5, f"corner error {err:.2f}px"
 
 
+@pytest.mark.slow
 def test_stabilizer_downsampled_path():
     img = textured_image(h=480, w=640, seed=3)
     h_true = small_homography(3)
@@ -186,6 +188,7 @@ def test_stabilizer_clahe_path_runs():
 
 
 # ---------------------------------------------------------------- multi-scale
+@pytest.mark.slow
 def test_pyramid_recovers_large_scale_change():
     """A 1.8x zoom defeats single-level matching but the rsift-class
     pyramid path recovers it (the master->ortho registration scenario)."""

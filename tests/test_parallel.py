@@ -26,6 +26,7 @@ def test_mesh_shapes():
         make_mesh(8, dp=3, tp=2)
 
 
+@pytest.mark.slow
 def test_shard_params_tensor_parallel():
     from geotrax_tpu.models import yolov8
 
@@ -40,6 +41,7 @@ def test_shard_params_tensor_parallel():
     np.testing.assert_allclose(np.asarray(w), np.asarray(params["layers"]["7"]["w"]))
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs():
     import optax
 
@@ -82,6 +84,7 @@ def make_dets(rng, n_videos, n_frames, max_det=8):
     return tuple(map(jnp.asarray, (boxes, scores, classes, valid)))
 
 
+@pytest.mark.slow
 def test_video_batch_matches_sequential():
     """V videos advanced by the vmapped batch tracker produce exactly the
     per-video results of running each tracker alone."""

@@ -68,6 +68,7 @@ BOTSORT = {
 }
 
 
+@pytest.mark.slow
 def test_botsort_reid_keeps_ids_through_crossing():
     # geometry-only: at the swap frame the left box is target1's track id 1?
     # No: target1 moved right (109), target2 moved left (103). Geometry
@@ -84,6 +85,7 @@ def test_botsort_reid_keeps_ids_through_crossing():
     assert without[3] == (1, 2)
 
 
+@pytest.mark.slow
 def test_deepocsort_reid_keeps_ids_through_crossing():
     params = {
         "track_high_thresh": 0.25, "track_low_thresh": 0.1,
@@ -100,6 +102,7 @@ def test_deepocsort_reid_keeps_ids_through_crossing():
     assert without[3] == (1, 2)
 
 
+@pytest.mark.slow
 def test_tracktrack_reid_cost_is_active():
     params = {
         "track_high_thresh": 0.25, "track_low_thresh": 0.1,

@@ -29,6 +29,7 @@ def test_forward_shapes(params):
     assert (p >= 0).all() and (p <= 1).all()
 
 
+@pytest.mark.slow
 def test_forward_batched(params):
     x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 96, 96, 3)), jnp.float32)
     boxes, probs = rtdetr.forward(params, x, SPEC)
@@ -37,6 +38,7 @@ def test_forward_batched(params):
     assert not np.allclose(np.asarray(boxes[0]), np.asarray(boxes[1]))
 
 
+@pytest.mark.slow
 def test_loss_finite_and_differentiable(params):
     rng = np.random.default_rng(1)
     images = jnp.asarray(rng.uniform(0, 1, (2, 96, 96, 3)), jnp.float32)
@@ -56,6 +58,7 @@ def test_loss_finite_and_differentiable(params):
     assert g_bb > 0
 
 
+@pytest.mark.slow
 def test_short_optimization_decreases_loss(params):
     import optax
 

@@ -165,6 +165,7 @@ def test_botsort_gmc_compensation():
     assert len(set(flat)) == 1, f"identity broke under camera pan: {ids_seen}"
 
 
+@pytest.mark.slow
 def test_scan_over_frames_matches_python_loop():
     """The per-frame step scans (device-resident timeline) with identical
     results to the Python loop."""

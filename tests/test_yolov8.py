@@ -145,6 +145,7 @@ def test_sppf_block_matches_torch():
 
 
 # ---------------------------------------------------------------- full model
+@pytest.mark.slow
 @pytest.mark.parametrize("variant", ["n", "s"])
 def test_forward_shapes(variant):
     spec = ModelSpec(variant=variant, nc=4)

@@ -47,6 +47,12 @@ def main() -> int:
     parser.add_argument("--max-features", type=int, default=250000)
     parser.add_argument("--synthetic", action="store_true",
                         help="Benchmark against known random warps of the frame itself")
+    parser.add_argument("--synthetic-cross-domain", action="store_true",
+                        help="Known H with scale 1.5-2.5x, rotation, gamma/illumination "
+                             "shift and noise — the regime where RootSIFT is required "
+                             "and binary descriptors fail (reference registration.py:59-77)")
+    parser.add_argument("--detectors", nargs="+", default=["rsift", "orb"],
+                        help="Detector families to compare in cross-domain mode")
     parser.add_argument("--latex", action="store_true")
     args = parser.parse_args()
 
@@ -58,7 +64,37 @@ def main() -> int:
     frame = load_image(args.frame)
     rows = []
 
-    if args.synthetic:
+    if args.synthetic_cross_domain:
+        import cv2
+
+        rng = np.random.default_rng(0)
+        h_img, w_img = frame.shape[:2]
+        for trial in range(4):
+            scale = rng.uniform(1.5, 2.5)
+            ang = rng.uniform(-np.pi / 6, np.pi / 6)
+            s_, c_ = np.sin(ang) / scale, np.cos(ang) / scale
+            h_true = np.array([
+                [c_, -s_, rng.uniform(-30, 30)],
+                [s_, c_, rng.uniform(-30, 30)],
+                [0.0, 0.0, 1.0],
+            ])
+            src = cv2.warpPerspective(
+                frame, np.linalg.inv(h_true), (w_img, h_img), flags=cv2.INTER_LINEAR
+            ).astype(np.float32)
+            gamma = rng.uniform(1.3, 1.8)
+            src = 255.0 * (np.clip(src, 0, 255) / 255.0) ** gamma
+            src = np.clip(src * 0.8 + 20 + rng.normal(0, 6, src.shape), 0, 255)
+            src = src.astype(np.uint8)
+            for det in args.detectors:
+                h_est, inliers, matches, _ = estimate_homography(
+                    src, frame, logger, detector_name=det,
+                    max_features=args.max_features,
+                    filter_ratio=0.75 if det in ("sift", "rsift") else 0.8,
+                )
+                err = (corner_error(h_est, h_true, w_img, h_img)
+                       if h_est is not None else float("inf"))
+                rows.append((f"t{trial}:{det}", inliers, matches, err))
+    elif args.synthetic:
         import jax.numpy as jnp
 
         from geotrax_tpu.ops.warp import warp_perspective
