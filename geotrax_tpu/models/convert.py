@@ -220,3 +220,178 @@ def load_npz(path: Path) -> tuple[dict, dict]:
             elif key.startswith("meta:"):
                 meta[key[len("meta:"):]] = data[key].item()
     return params, meta
+
+
+# ---------------------------------------------------------------------------
+# RT-DETR (ultralytics RTDETRDetectionModel, rtdetr-l graph)
+# ---------------------------------------------------------------------------
+
+def _lin_t(sd: dict, prefix: str) -> dict:
+    """torch nn.Linear -> {'w' (in,out), 'b'} (transposed for x @ w)."""
+    return {"w": np.ascontiguousarray(sd[f"{prefix}.weight"].T).astype(np.float32),
+            "b": np.asarray(sd[f"{prefix}.bias"], np.float32)}
+
+
+def _ln_t(sd: dict, prefix: str) -> dict:
+    return {"scale": np.asarray(sd[f"{prefix}.weight"], np.float32),
+            "bias": np.asarray(sd[f"{prefix}.bias"], np.float32)}
+
+
+def _mha_t(sd: dict, prefix: str) -> dict:
+    """torch nn.MultiheadAttention (packed qkv in_proj)."""
+    return {
+        "in_w": np.ascontiguousarray(sd[f"{prefix}.in_proj_weight"].T).astype(np.float32),
+        "in_b": np.asarray(sd[f"{prefix}.in_proj_bias"], np.float32),
+        "out_w": np.ascontiguousarray(sd[f"{prefix}.out_proj.weight"].T).astype(np.float32),
+        "out_b": np.asarray(sd[f"{prefix}.out_proj.bias"], np.float32),
+    }
+
+
+def _repconv_merged(sd: dict, prefix: str) -> dict:
+    """RepConv (3x3 + 1x1 branches, each Conv+BN) re-parameterized into ONE
+    3x3 conv: fold BN per branch, pad the 1x1 kernel to 3x3, sum — exact."""
+    b3 = _fold_conv_bn(sd, f"{prefix}.conv1")   # HWIO 3x3
+    b1 = _fold_conv_bn(sd, f"{prefix}.conv2")   # HWIO 1x1
+    w = b3["w"].copy()
+    w[1:2, 1:2] += b1["w"]
+    return {"w": w, "b": b3["b"] + b1["b"]}
+
+
+def _hgblock_t(sd: dict, prefix: str, light: bool, n: int = 6) -> dict:
+    out = {}
+    for i in range(n):
+        if light:
+            out[f"m{i}"] = {
+                "conv1": _fold_conv_bn(sd, f"{prefix}.m.{i}.conv1"),
+                "conv2": _fold_conv_bn(sd, f"{prefix}.m.{i}.conv2"),
+            }
+        else:
+            out[f"m{i}"] = _fold_conv_bn(sd, f"{prefix}.m.{i}")
+    out["sc"] = _fold_conv_bn(sd, f"{prefix}.sc")
+    out["ec"] = _fold_conv_bn(sd, f"{prefix}.ec")
+    return out
+
+
+def _repc3_t(sd: dict, prefix: str, n: int = 3) -> dict:
+    out = {
+        "cv1": _fold_conv_bn(sd, f"{prefix}.cv1"),
+        "cv2": _fold_conv_bn(sd, f"{prefix}.cv2"),
+    }
+    for i in range(n):
+        out[f"m{i}"] = _repconv_merged(sd, f"{prefix}.m.{i}")
+    if f"{prefix}.cv3.conv.weight" in sd:
+        out["cv3"] = _fold_conv_bn(sd, f"{prefix}.cv3")
+    return out
+
+
+def _input_proj_t(sd: dict, prefix: str) -> dict:
+    """decoder input_proj: Conv2d(bias=False) + BatchNorm2d (plain modules)."""
+    w = sd[f"{prefix}.0.weight"]
+    gamma = sd[f"{prefix}.1.weight"]
+    beta = sd[f"{prefix}.1.bias"]
+    mean = sd[f"{prefix}.1.running_mean"]
+    var = sd[f"{prefix}.1.running_var"]
+    scale = gamma / np.sqrt(var + 1e-5)  # plain nn.BatchNorm2d eps
+    w_folded = w * scale[:, None, None, None]
+    return {"w": np.transpose(w_folded, (2, 3, 1, 0)).astype(np.float32),
+            "b": (beta - mean * scale).astype(np.float32)}
+
+
+def _mlp_t(sd: dict, prefix: str, n_layers: int) -> dict:
+    return {f"l{i}": _lin_t(sd, f"{prefix}.layers.{i}") for i in range(n_layers)}
+
+
+def infer_rtdetr_spec(sd: dict):
+    """ULSpec from an ultralytics RT-DETR state dict (rtdetr-l family)."""
+    from geotrax_tpu.models.rtdetr_ul import ULSpec
+
+    stem = sd["model.0.stem1.conv.weight"].shape[0]
+    if stem != 32:
+        raise NotImplementedError(
+            f"Only the rtdetr-l (HGNetv2-L, stem 32) graph is supported; "
+            f"this checkpoint has stem width {stem} (rtdetr-x is unsupported)."
+        )
+    nc = sd["model.28.dec_score_head.0.weight"].shape[0]
+    hd = sd["model.28.enc_output.0.weight"].shape[0]
+    ndl = 0
+    while f"model.28.dec_score_head.{ndl}.weight" in sd:
+        ndl += 1
+    d_ffn = sd["model.28.decoder.layers.0.linear1.weight"].shape[0]
+    return ULSpec(nc=int(nc), hd=int(hd), ndl=ndl, d_ffn=int(d_ffn))
+
+
+def convert_rtdetr_ultralytics(sd: dict, spec=None) -> tuple:
+    """Flat torch state dict (ultralytics RTDETRDetectionModel, rtdetr-l
+    graph) -> (params pytree for models/rtdetr_ul.py, ULSpec). BN folded,
+    RepConv branches merged (exact transforms; parity pinned by
+    tests/test_rtdetr_convert.py against a torch oracle)."""
+    if spec is None:
+        spec = infer_rtdetr_spec(sd)
+    m = "model"
+    backbone = {
+        "stem": {k: _fold_conv_bn(sd, f"{m}.0.{k}")
+                 for k in ("stem1", "stem2a", "stem2b", "stem3", "stem4")},
+        "s1": _hgblock_t(sd, f"{m}.1", light=False),
+        "dw2": _fold_conv_bn(sd, f"{m}.2"),
+        "s2": _hgblock_t(sd, f"{m}.3", light=False),
+        "dw3": _fold_conv_bn(sd, f"{m}.4"),
+        "s3a": _hgblock_t(sd, f"{m}.5", light=True),
+        "s3b": _hgblock_t(sd, f"{m}.6", light=True),
+        "s3c": _hgblock_t(sd, f"{m}.7", light=True),
+        "dw4": _fold_conv_bn(sd, f"{m}.8"),
+        "s4": _hgblock_t(sd, f"{m}.9", light=True),
+    }
+    encoder = {
+        "proj5": _fold_conv_bn(sd, f"{m}.10"),
+        "aifi": {
+            "ma": _mha_t(sd, f"{m}.11.ma"),
+            "fc1": _lin_t(sd, f"{m}.11.fc1"),
+            "fc2": _lin_t(sd, f"{m}.11.fc2"),
+            "norm1": _ln_t(sd, f"{m}.11.norm1"),
+            "norm2": _ln_t(sd, f"{m}.11.norm2"),
+        },
+        "lat0": _fold_conv_bn(sd, f"{m}.12"),
+        "proj4": _fold_conv_bn(sd, f"{m}.14"),
+        "fpn0": _repc3_t(sd, f"{m}.16"),
+        "lat1": _fold_conv_bn(sd, f"{m}.17"),
+        "proj3": _fold_conv_bn(sd, f"{m}.19"),
+        "fpn1": _repc3_t(sd, f"{m}.21"),
+        "down0": _fold_conv_bn(sd, f"{m}.22"),
+        "pan0": _repc3_t(sd, f"{m}.24"),
+        "down1": _fold_conv_bn(sd, f"{m}.25"),
+        "pan1": _repc3_t(sd, f"{m}.27"),
+    }
+    dec = f"{m}.28"
+    decoder = {
+        "enc_output_l": _lin_t(sd, f"{dec}.enc_output.0"),
+        "enc_output_ln": _ln_t(sd, f"{dec}.enc_output.1"),
+        "enc_score_head": _lin_t(sd, f"{dec}.enc_score_head"),
+        "enc_bbox_head": _mlp_t(sd, f"{dec}.enc_bbox_head", 3),
+        "query_pos_head": _mlp_t(sd, f"{dec}.query_pos_head", 2),
+    }
+    for i in range(3):
+        decoder[f"input_proj{i}"] = _input_proj_t(sd, f"{dec}.input_proj.{i}")
+    for i in range(spec.ndl):
+        lp = f"{dec}.decoder.layers.{i}"
+        decoder[f"dec_layer{i}"] = {
+            "self_attn": _mha_t(sd, f"{lp}.self_attn"),
+            "cross_attn": {
+                "sampling_offsets": _lin_t(sd, f"{lp}.cross_attn.sampling_offsets"),
+                "attention_weights": _lin_t(sd, f"{lp}.cross_attn.attention_weights"),
+                "value_proj": _lin_t(sd, f"{lp}.cross_attn.value_proj"),
+                "output_proj": _lin_t(sd, f"{lp}.cross_attn.output_proj"),
+            },
+            "norm1": _ln_t(sd, f"{lp}.norm1"),
+            "norm2": _ln_t(sd, f"{lp}.norm2"),
+            "norm3": _ln_t(sd, f"{lp}.norm3"),
+            "linear1": _lin_t(sd, f"{lp}.linear1"),
+            "linear2": _lin_t(sd, f"{lp}.linear2"),
+        }
+        decoder[f"dec_bbox_head{i}"] = _mlp_t(sd, f"{dec}.dec_bbox_head.{i}", 3)
+        decoder[f"dec_score_head{i}"] = _lin_t(sd, f"{dec}.dec_score_head.{i}")
+    import jax
+    import jax.numpy as jnp
+
+    params = {"backbone": backbone, "encoder": encoder, "decoder": decoder}
+    params = jax.tree.map(jnp.asarray, params)
+    return params, spec

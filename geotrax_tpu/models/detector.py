@@ -64,10 +64,29 @@ class Detector:
         from geotrax_tpu.models.convert import load_npz
 
         if model_path.suffix == ".pt":
-            raise NotImplementedError(
-                "torch RT-DETR checkpoints are not convertible yet; train or "
-                "export a native .npz with geotrax_tpu.models.rtdetr."
+            # ultralytics RTDETR checkpoint (reference extract.py:222-225):
+            # weight-compatible rtdetr-l graph (models/rtdetr_ul.py)
+            from geotrax_tpu.models.convert import (
+                convert_rtdetr_ultralytics,
+                read_class_names,
+                torch_state_dict,
             )
+
+            sd = torch_state_dict(model_path)
+            self.params, self.spec = convert_rtdetr_ultralytics(sd)
+            self.class_names = read_class_names(model_path)
+            self.is_ul_rtdetr = True
+            self.imgsz = int(detect_cfg.get("imgsz", 1920) or 1920)
+            self.conf = float(detect_cfg.get("conf", 0.25) or 0.25)
+            self.max_det = int(detect_cfg.get("max_det", 1000) or 1000)
+            self._fn = {}
+            self._geom = {}
+            if logger:
+                logger.info(
+                    f"Detector: ultralytics rtdetr-l nc={self.spec.nc} (NMS-free)"
+                )
+            return
+        self.is_ul_rtdetr = False
         raw, meta = load_npz(model_path)
         self.spec = rtdetr.RTDETRSpec(
             variant=str(meta.get("variant", "s")),
@@ -94,8 +113,12 @@ class Detector:
         key = (src_h, src_w)
         if key in self._fn:
             return self._fn[key]
-        from geotrax_tpu.models import rtdetr
+        from geotrax_tpu.models import rtdetr, rtdetr_ul
 
+        forward_fn = (
+            rtdetr_ul.forward if getattr(self, "is_ul_rtdetr", False)
+            else rtdetr.forward
+        )
         out_h, out_w, r, top, left = yolov8.letterbox_shape(src_h, src_w, self.imgsz)
         new_h, new_w = round(src_h * r), round(src_w * r)
         spec, params, conf = self.spec, self.params, self.conf
@@ -103,7 +126,7 @@ class Detector:
         @jax.jit
         def run(frame_u8):
             img = yolov8.letterbox(frame_u8, out_h, out_w, new_h, new_w, top, left)
-            boxes, probs = rtdetr.forward(params, img[None], spec)
+            boxes, probs = forward_fn(params, img[None], spec)
             scores = probs[0].max(-1)
             classes = probs[0].argmax(-1)
             k = min(self.max_det, scores.shape[0])

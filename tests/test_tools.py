@@ -20,7 +20,8 @@ def run_tool(name, *args, cwd=None):
     )
 
 
-ALL_TOOLS = sorted(p.name for p in TOOLS.glob("*.py") if p.name != "_common.py")
+_LIB_MODULES = {"_common.py", "dji_srt.py"}  # shared modules, not CLIs
+ALL_TOOLS = sorted(p.name for p in TOOLS.glob("*.py") if p.name not in _LIB_MODULES)
 
 
 @pytest.mark.parametrize("tool", ALL_TOOLS)
