@@ -14,8 +14,10 @@ from typing import Iterator, Optional
 import numpy as np
 
 _LIB_PATH = Path(__file__).parent / "libgeotrax_decode.so"
+_ENC_PATH = Path(__file__).parent / "libgeotrax_encode.so"
 _LAP_PATH = Path(__file__).parent / "libgeotrax_lap.so"
 _lib = None
+_enc_lib = None
 _lap_lib = None
 
 
@@ -129,3 +131,28 @@ def native_frames(path: str) -> Iterator[tuple[int, np.ndarray]]:
             idx += 1
     finally:
         lib.gtx_close(handle)
+
+
+def load_encoder_library():
+    """ctypes handle to the native MPEG-4 encoder (None when unavailable)."""
+    global _enc_lib
+    if _enc_lib is not None:
+        return _enc_lib
+    if not _ENC_PATH.exists():
+        _try_build()
+    if not _ENC_PATH.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_ENC_PATH))
+    except OSError:
+        return None
+    lib.gtx_enc_open.restype = ctypes.c_void_p
+    lib.gtx_enc_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_long,
+    ]
+    lib.gtx_enc_write.restype = ctypes.c_int
+    lib.gtx_enc_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.gtx_enc_close.restype = ctypes.c_int
+    lib.gtx_enc_close.argtypes = [ctypes.c_void_p]
+    _enc_lib = lib
+    return lib

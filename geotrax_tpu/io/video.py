@@ -252,24 +252,59 @@ class SyntheticVideoReader:
 
 
 class VideoWriter:
-    """Annotated-video writer; cv2 backend (native encoder is a follow-up)."""
+    """Annotated-video writer: first-party MPEG-4 encoder (io/native/
+    encode.cpp — the mp4v codec the reference picks on linux, reference
+    file_utils.py:176-180) with a cv2 fallback when the native library or a
+    non-mp4 container is requested."""
 
-    def __init__(self, path: Path | str, fps: float, width: int, height: int, fourcc: Optional[str] = None):
-        import cv2
-
+    def __init__(self, path: Path | str, fps: float, width: int, height: int,
+                 fourcc: Optional[str] = None, backend: Optional[str] = None):
         from geotrax_tpu.utils.file_utils import determine_suffix_and_fourcc
 
         if fourcc is None:
             _, fourcc = determine_suffix_and_fourcc()
         self.path = str(path)
-        self._writer = cv2.VideoWriter(
-            self.path, cv2.VideoWriter_fourcc(*fourcc), fps, (int(width), int(height))
-        )
-        if not self._writer.isOpened():
-            raise OSError(f"Cannot open video writer: {self.path}")
+        self._native = None
+        self._writer = None
+        self.width, self.height = int(width), int(height)
+        backend = backend or os.environ.get("GEOTRAX_VIDEO_BACKEND")
+        if backend != "cv2" and fourcc.lower() in ("mp4v", "avc1"):
+            from geotrax_tpu.io.native import load_encoder_library
+
+            lib = load_encoder_library()
+            if lib is not None:
+                handle = lib.gtx_enc_open(
+                    self.path.encode(), self.width, self.height, float(fps), 0
+                )
+                if handle:
+                    self._native = (lib, handle)
+        if self._native is None:
+            import cv2
+
+            self._writer = cv2.VideoWriter(
+                self.path, cv2.VideoWriter_fourcc(*fourcc), fps,
+                (self.width, self.height),
+            )
+            if not self._writer.isOpened():
+                raise OSError(f"Cannot open video writer: {self.path}")
 
     def write(self, frame_rgb: np.ndarray):
+        if self._native is not None:
+            import ctypes
+
+            lib, handle = self._native
+            frame = np.ascontiguousarray(frame_rgb, dtype=np.uint8)
+            rc = lib.gtx_enc_write(handle, frame.ctypes.data_as(ctypes.c_void_p))
+            if rc < 0:
+                raise OSError(f"Native encoder write failed ({rc}): {self.path}")
+            return
         self._writer.write(np.ascontiguousarray(frame_rgb[..., ::-1]))
 
     def close(self):
-        self._writer.release()
+        if self._native is not None:
+            lib, handle = self._native
+            lib.gtx_enc_close(handle)
+            self._native = None
+            return
+        if self._writer is not None:
+            self._writer.release()

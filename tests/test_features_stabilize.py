@@ -280,7 +280,7 @@ def test_packed_plane_descriptors_match_patch_path():
     img = textured_image(h=240, w=320, seed=32)[..., 0].astype(np.float32)
     gray = jnp.asarray(img)
     kps = features.fast_detect(gray, 128, oriented=False)
-    got = np.asarray(features.describe(gray, kps, oriented=False))
+    got = np.asarray(features.describe(gray, kps, oriented=False, method="planes"))
 
     smoothed = _gaussian_blur(gray, sigma=2.0)
     p = 32

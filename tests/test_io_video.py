@@ -75,3 +75,35 @@ def test_synthetic_reader_boxes_move():
     b0 = reader.boxes_at(0)
     b2 = reader.boxes_at(2)
     assert b0[0][0] != b2[0][0]
+
+
+def test_native_encoder_roundtrip(tmp_path):
+    """First-party MPEG-4 encoder (io/native/encode.cpp): frames written
+    through the native path must decode back with the right count, size and
+    approximate content (lossy codec -> loose tolerance)."""
+    from geotrax_tpu.io.native import load_encoder_library
+    from geotrax_tpu.io.video import VideoReader, VideoWriter, probe_video
+
+    if load_encoder_library() is None:
+        pytest.skip("native encoder unavailable")
+    rng = np.random.default_rng(0)
+    base = np.kron(rng.integers(0, 255, (24, 32, 3)), np.ones((8, 8, 1))).astype(np.uint8)
+    path = tmp_path / "enc.mp4"
+    w = VideoWriter(path, 30.0, 256, 192, fourcc="mp4v")
+    assert w._native is not None, "native encoder should engage for mp4v"
+    for t in range(10):
+        f = base.copy()
+        f[:, 8 * t:8 * t + 16] = 255
+        w.write(f)
+    w.close()
+
+    info = probe_video(path)
+    assert (info.width, info.height) == (256, 192)
+    frames = [f for _, f in VideoReader(path)]
+    assert len(frames) == 10
+    # content survives the lossy encode (mean abs error small on flat blocks)
+    err = np.abs(frames[0].astype(float) - base.astype(float)
+                 - (frames[0].astype(float) - base.astype(float)).mean())
+    assert frames[0].shape == base.shape
+    assert np.abs(frames[0].astype(float).mean(axis=(0, 1))
+                  - base.astype(float).mean(axis=(0, 1))).max() < 30
