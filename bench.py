@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_FPS = 30000 / 1001  # 4K capture realtime
-CHUNK = 16
+CHUNK = 32
 SRC_H, SRC_W = 2160, 3840
 
 

@@ -39,13 +39,18 @@ class RansacResult(NamedTuple):
 def _sample_indices(key, num_hypotheses: int, sample_size: int, n: int,
                     weights: jnp.ndarray) -> jnp.ndarray:
     """(H, S) random correspondence indices, weighted by validity (PROSAC-ish
-    weighting hook: pass match-quality weights to bias sampling)."""
-    keys = jax.random.split(key, num_hypotheses)
+    weighting hook: pass match-quality weights to bias sampling).
 
-    def one(k):
-        return jax.random.choice(k, n, shape=(sample_size,), replace=False, p=weights)
-
-    return jax.vmap(one)(keys)
+    Sampling is WITH replacement via one inverse-CDF searchsorted over all
+    H*S draws — `jax.random.choice(replace=False)` lowers to a full Gumbel
+    top-k sort of the weight vector per hypothesis (1250 sorts of the
+    candidate set per frame). A within-sample collision produces a
+    degenerate minimal fit that scores zero, exactly like a collinear
+    sample; with hundreds of valid matches the waste is <1% of hypotheses.
+    """
+    cum = jnp.cumsum(weights)
+    u = jax.random.uniform(key, (num_hypotheses, sample_size)) * cum[-1]
+    return jnp.clip(jnp.searchsorted(cum, u), 0, n - 1)
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses", "transformation", "refine_iters"))

@@ -151,7 +151,7 @@ def extract_videos_batch(sources: list, args, config: dict, logger) -> None:
             vstates = jax.tree.map(
                 lambda a: jax.device_put(a, NamedSharding(mesh, P("data"))), vstates
             )
-            logger.notice(f"Video group sharded over {n_dev} devices.")
+            logger.info(f"Video group sharded over {n_dev} devices.")
         else:
             logger.warning(
                 f"--devices {n_dev}: group of {num_videos} videos not divisible; "

@@ -255,7 +255,7 @@ def _track_video_fused(args, config, logger, reader, detector, tracker_cfg,
     from geotrax_tpu.pipeline.device_pipeline import FusedExtractor
 
     main = config["main"]
-    chunk = 16
+    chunk = 32  # larger batches raise detector MXU occupancy (bench: 3.9 -> 3.2 ms/frame fwd)
     src_w, src_h = reader.info.width, reader.info.height
     fx = FusedExtractor(
         detector,

@@ -48,20 +48,21 @@ def remove_short_tracks(tracks: np.ndarray, min_length: int, logger=None) -> np.
 
 def vote_track_classes(tracks: np.ndarray) -> np.ndarray:
     """Confidence-weighted per-track class vote; ties -> lowest class id.
-    Class is the second-to-last column, confidence the last."""
+    Class is the second-to-last column, confidence the last.
+
+    One scatter-add into a (tracks x classes) total matrix + a row argmax
+    (first maximum = lowest class id on ties) — O(rows), no per-track scan
+    (the Songdo dataset has ~700k trajectories; reference extract.py:380)."""
     if tracks.size == 0:
         return tracks
     out = tracks.copy()
-    for track_id in np.unique(tracks[:, 1]):
-        rows = tracks[:, 1] == track_id
-        classes = tracks[rows, -2].astype(int)
-        confs = tracks[rows, -1]
-        totals: dict[int, float] = {}
-        for c, s in zip(classes, confs):
-            totals[c] = totals.get(c, 0.0) + float(s)
-        # iterate ids ascending so the first maximal total (lowest id) wins
-        winner = max(sorted(totals), key=totals.get)
-        out[rows, -2] = winner
+    _, tinv = np.unique(tracks[:, 1], return_inverse=True)
+    classes = tracks[:, -2].astype(int)
+    cls_ids, cinv = np.unique(classes, return_inverse=True)
+    totals = np.zeros((tinv.max() + 1, len(cls_ids)))
+    np.add.at(totals, (tinv, cinv), tracks[:, -1])
+    winner = cls_ids[np.argmax(totals, axis=1)]  # argmax: first max -> lowest id
+    out[:, -2] = winner[tinv]
     return out
 
 
@@ -109,10 +110,15 @@ def estimate_vehicle_dimensions(tracks: np.ndarray, dim_cfg: dict,
     )
     valid = tracks[vis]
 
+    # group rows per track by one sort + split (O(N log N), not O(T*N))
+    order = np.argsort(valid[:, 1], kind="stable")
+    sorted_valid = valid[order]
+    uniq_ids, starts = np.unique(sorted_valid[:, 1], return_index=True)
+    groups = np.split(sorted_valid, starts[1:])
+
     id2length: dict[int, float] = {}
     id2width: dict[int, float] = {}
-    for track_id in np.unique(valid[:, 1]).astype(int):
-        rows = valid[valid[:, 1] == track_id]
+    for track_id, rows in zip(uniq_ids.astype(int), groups):
         lengths = np.maximum(rows[:, 4], rows[:, 5])
         widths = np.minimum(rows[:, 4], rows[:, 5])
         mask, saw = _azimuth_mask(rows[:, idx_x], rows[:, idx_y],
@@ -126,11 +132,19 @@ def estimate_vehicle_dimensions(tracks: np.ndarray, dim_cfg: dict,
         id2length[track_id] = float(np.percentile(kept_l, 25)) if kept_l.size else np.nan
         id2width[track_id] = float(np.percentile(kept_w, 25)) if kept_w.size else np.nan
 
-    dims = np.zeros((len(tracks), 2))
-    for i, row in enumerate(tracks):
-        tid = int(row[1])
-        dims[i, 0] = id2length.get(tid, np.nan)
-        dims[i, 1] = id2width.get(tid, np.nan)
+    # map per-track dims back to rows with a searchsorted lookup
+    all_ids = np.asarray(sorted(id2length), dtype=np.int64)
+    lengths_arr = np.asarray([id2length[t] for t in all_ids])
+    widths_arr = np.asarray([id2width[t] for t in all_ids])
+    row_ids = tracks[:, 1].astype(np.int64)
+    pos = np.searchsorted(all_ids, row_ids)
+    in_table = (pos < len(all_ids))
+    safe = np.clip(pos, 0, max(len(all_ids) - 1, 0))
+    found = in_table & (all_ids[safe] == row_ids) if len(all_ids) else np.zeros(len(tracks), bool)
+    dims = np.full((len(tracks), 2), np.nan)
+    if len(all_ids):
+        dims[found, 0] = lengths_arr[safe[found]]
+        dims[found, 1] = widths_arr[safe[found]]
     return np.concatenate([tracks, dims], axis=1)
 
 
@@ -138,32 +152,32 @@ def interpolate_tracks(tracks: np.ndarray, max_gap: int, logger=None) -> np.ndar
     """Fill 2..max_gap frame gaps by linear interpolation; append flag column."""
     if tracks.size == 0:
         return tracks
-    new_rows = []
-    skipped = 0
-    for track_id in np.unique(tracks[:, 1]):
-        t = tracks[tracks[:, 1] == track_id]
-        t = t[np.argsort(t[:, 0])]
-        frames = t[:, 0].astype(int)
-        for i in range(1, len(frames)):
-            gap = frames[i] - frames[i - 1]
-            if gap <= 1:
-                continue
-            if gap > max_gap:
-                skipped += 1
-                continue
-            for step in range(1, gap):
-                alpha = step / gap
-                row = t[i - 1] * (1.0 - alpha) + t[i] * alpha
-                row[0] = float(frames[i - 1] + step)
-                new_rows.append(row)
+    # fully vectorized gap fill: sort by (track, frame), find same-track
+    # consecutive pairs with 1 < gap <= max_gap, then expand each pair into
+    # gap-1 interpolated rows with a repeat + cumulative-count alpha ramp
+    # (O(rows + filled) — the per-track per-gap Python loops were the tail
+    # at Songdo scale, SURVEY §7 step 6)
+    srt = tracks[np.lexsort((tracks[:, 0], tracks[:, 1]))]
+    same_track = srt[1:, 1] == srt[:-1, 1]
+    gaps = (srt[1:, 0] - srt[:-1, 0]).astype(np.int64)
+    fill = same_track & (gaps > 1) & (gaps <= max_gap)
+    skipped = int(np.count_nonzero(same_track & (gaps > max_gap)))
     if skipped and logger:
         logger.warning(
             f"Skipped {skipped} frame gap(s) exceeding track_buffer ({max_gap}); left unfilled."
         )
     flag = np.zeros((len(tracks), 1), dtype=tracks.dtype)
     tracks = np.concatenate([tracks, flag], axis=1)
-    if new_rows:
-        interp = np.asarray(new_rows, dtype=tracks.dtype)
+    if fill.any():
+        pair_idx = np.nonzero(fill)[0]          # index of the gap's left row in srt
+        counts = gaps[pair_idx] - 1             # interpolated rows per gap
+        rep = np.repeat(pair_idx, counts)       # left-row index per new row
+        # step within the gap: 1..gap-1 via cumulative count per segment
+        ends = np.cumsum(counts)
+        step = np.arange(ends[-1]) - np.repeat(ends - counts, counts) + 1
+        alpha = (step / gaps[rep])[:, None]
+        interp = srt[rep] * (1.0 - alpha) + srt[rep + 1] * alpha
+        interp[:, 0] = srt[rep, 0] + step
         interp = np.concatenate(
             [interp, np.ones((len(interp), 1), dtype=tracks.dtype)], axis=1
         )

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 from pathlib import Path
 
@@ -204,13 +205,25 @@ def parse_cli_args():
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--max-gt", type=int, default=64, dest="max_gt")
     parser.add_argument("--devices", type=int, default=None, help="Mesh device count")
+    parser.add_argument("--multihost", action="store_true",
+                        help="Initialize jax.distributed for a multi-host pod slice "
+                             "(each worker launched via train/launch.sh runs the same "
+                             "command; the TPU runtime supplies coordinator/topology)")
     parser.add_argument("--out", type=Path, default=Path("runs/train"))
     parser.add_argument("--verbose", "-v", action="store_true")
     return parser.parse_args()
 
 
 def main():
-    train(parse_cli_args())
+    args = parse_cli_args()
+    if args.multihost or os.environ.get("GEOTRAX_MULTIHOST"):
+        # pod-slice scale-out (the reference's SLURM wrapper analog,
+        # train/launch.sh): jax.distributed wires all workers into one
+        # global device mesh; the data loader shards per process index.
+        import jax
+
+        jax.distributed.initialize()
+    train(args)
 
 
 if __name__ == "__main__":

@@ -129,7 +129,7 @@ def load_test_config(args, stabilize):
     return config
 
 
-def run_parallel(tmp_path, monkeypatch, stabilize, lengths=None):
+def run_parallel(tmp_path, monkeypatch, stabilize, lengths=None, devices=None):
     from geotrax_tpu.parallel import extract_batch
     from geotrax_tpu.pipeline import _extract_impl as impl
 
@@ -145,6 +145,8 @@ def run_parallel(tmp_path, monkeypatch, stabilize, lengths=None):
 
     args = make_args(tmp_path, 0)
     args.source = sources[0]
+    if devices is not None:
+        args.devices = devices
     config = load_test_config(args, stabilize)
     extract_batch.extract_videos_batch(sources, args, config, logger)
     return [
@@ -223,3 +225,15 @@ def test_parallel_stabilized_smoke(tmp_path, monkeypatch):
         d = np.abs(h - np.eye(3))
         assert np.max(d[:, :2, :2]) < 0.05  # rotation/scale ~ identity
         assert np.max(d[:, :2, 2]) < 1.5    # sub-2px translation jitter
+
+
+@pytest.mark.slow
+def test_parallel_mesh_sharded_matches_sequential(tmp_path, monkeypatch):
+    """--devices D: tracker timelines shard over a ('data',) mesh on the
+    8-virtual-device CPU backend and the outputs stay bit-equal to the
+    sequential path (VERDICT item-9 done criterion; requires N_VIDEOS
+    divisible by D — 3 videos over 3 devices here)."""
+    par = run_parallel(tmp_path, monkeypatch, stabilize=False, devices=3)
+    seq = run_sequential(tmp_path, monkeypatch, stabilize=False)
+    for i in range(N_VIDEOS):
+        np.testing.assert_array_equal(par[i], seq[i])
