@@ -447,6 +447,46 @@ def detect_and_describe_pyramid(
     )
 
 
+_GRID_OFFS = np.array([-9, -3, 3, 9], dtype=np.int32)
+GRID_DESC_DIM = 64  # 16 grid points x 4 channels
+
+
+@partial(jax.jit, static_argnames=())
+def describe_grid(gray: jnp.ndarray, kps: Keypoints) -> jnp.ndarray:
+    """64-D float descriptors for same-scale matching via POINT gathers.
+
+    Two smoothing scales + x/y gradients sampled at a 4x4 grid (offsets
+    ±3/±9 px) around each keypoint: 16 points x 4 channels. Point gathers
+    from an (H,W,4) plane stack cost ~1.2 ms/frame at K=2048 where the
+    32x32 patch block-gather costs ~5.3 ms (DMA-issue/VMEM-movement bound —
+    measured under the chained protocol; the Pallas VMEM kernel in
+    ops/pallas_patches.py is no faster). Illumination handling: the
+    per-keypoint mean brightness is removed from the intensity channels
+    (additive shifts) and the vector is L2-normalized (gain); matched with
+    L2 distance (ops/sift.py:match_l2), not Hamming.
+    """
+    h, w = gray.shape
+    s2 = _gaussian_blur(gray, sigma=2.0)
+    gx = 0.5 * (jnp.roll(s2, -1, axis=1) - jnp.roll(s2, 1, axis=1))
+    gy = 0.5 * (jnp.roll(s2, -1, axis=0) - jnp.roll(s2, 1, axis=0))
+    s4 = _gaussian_blur(s2, sigma=2.0)
+    planes = jnp.stack([s2, gx, gy, s4], axis=-1)  # (H,W,4)
+
+    dy, dx = np.meshgrid(_GRID_OFFS, _GRID_OFFS, indexing="ij")
+    dy = jnp.asarray(dy.reshape(-1))
+    dx = jnp.asarray(dx.reshape(-1))
+    ky = jnp.clip(kps.xy[:, 1].astype(jnp.int32)[:, None] + dy[None], 0, h - 1)
+    kx = jnp.clip(kps.xy[:, 0].astype(jnp.int32)[:, None] + dx[None], 0, w - 1)
+    vals = planes[ky, kx]  # (K,16,4)
+
+    m2 = vals[..., 0].mean(axis=1, keepdims=True)
+    m4 = vals[..., 3].mean(axis=1, keepdims=True)
+    desc = jnp.concatenate([
+        vals[..., 0] - m2, vals[..., 1], vals[..., 2], vals[..., 3] - m4,
+    ], axis=-1)  # (K,64)
+    return desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-6)
+
+
 class Matches(NamedTuple):
     idx_a: jnp.ndarray   # (M,) indices into A's keypoints
     idx_b: jnp.ndarray   # (M,)

@@ -39,9 +39,11 @@ _WIN_W = 256         # 128-aligned lane window (covers rx in [0,128) + 32)
 
 def _make_kernel(max_ya: int, max_xa: int):
     def kernel(y0_ref, x0_ref, img_ref, out_ref):
+        i = pl.program_id(0)
+
         def body(j, _):
-            y0 = y0_ref[0, j]
-            x0 = x0_ref[0, j]
+            y0 = y0_ref[i, j]
+            x0 = x0_ref[i, j]
             ya = jnp.clip((y0 // 8) * 8, 0, max_ya)
             xa = jnp.clip((x0 // 128) * 128, 0, max_xa)
             ry = y0 - ya
@@ -107,10 +109,11 @@ def _extract_patches_impl(img, x0, y0, interpret: bool = False):
         _make_kernel(hp - _WIN_H, wp - _WIN_W),
         grid=(n,),
         in_specs=[
-            # rank-2 (1, BLK) SMEM blocks: rank-1 int32 arrays carry an XLA
-            # tiling Mosaic cannot match per-block
-            pl.BlockSpec((1, BLK), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, BLK), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            # whole (n, BLK) coordinate tables in SMEM (per-block slices of
+            # int32 arrays hit Mosaic's block-divisibility rules; a few KB
+            # of coordinates fit SMEM outright), indexed by program_id
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

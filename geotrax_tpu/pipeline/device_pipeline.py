@@ -185,14 +185,14 @@ class FusedExtractor:
             boxes = jnp.where(det_valid[:, None], det_boxes, 0.0) * ratio
             mask = features.boxes_mask(gray.shape, boxes, margin)
         kps = features.fast_detect(gray, n_features, mask=mask, oriented=False)
-        desc = features.describe(gray, kps, oriented=False)
+        desc = features.describe_grid(gray, kps)
         return kps.xy, desc, kps.valid
 
     def _fit(self, xy, valid_kp, desc, ref: RefFeatures, key, *,
              n_hyps, transformation, threshold, filter_ratio):
-        matches = features.match_descriptors(
-            desc, valid_kp, ref.desc, ref.valid, ratio=filter_ratio
-        )
+        from geotrax_tpu.ops.sift import match_l2
+
+        matches = match_l2(desc, valid_kp, ref.desc, ref.valid, ratio=filter_ratio)
         src = xy[matches.idx_a]
         dst = ref.xy[matches.idx_b]
         res = ransac_fit(
@@ -355,9 +355,11 @@ class FusedExtractor:
         step = self._step_first if self._ref is None and self.stab_on else self._step_mid
         if not self.stab_on and self._gmc_carry is None and self.use_gmc:
             # initialize the standalone-GMC carry with an invalid feature set
-            t = 256
+            from geotrax_tpu.ops.features import GRID_DESC_DIM
+
             self._gmc_carry = RefFeatures(
-                jnp.zeros((GMC_FEATURES, 2)), jnp.zeros((GMC_FEATURES, t)),
+                jnp.zeros((GMC_FEATURES, 2)),
+                jnp.zeros((GMC_FEATURES, GRID_DESC_DIM)),
                 jnp.zeros((GMC_FEATURES,), bool),
             )
         self.state, out, self._ref, self._gmc_carry, self._h_prev, self._key = step(

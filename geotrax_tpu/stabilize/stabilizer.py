@@ -119,10 +119,11 @@ class Stabilizer:
             return features.detect_and_describe_pyramid(
                 gray, n_features, n_levels=self.n_levels, mask=mask
             )
-        # same-scale consecutive-frame matching: unoriented descriptors
-        # (consecutive hovering-drone frames rotate < a few degrees)
+        # same-scale consecutive-frame matching: float grid descriptors
+        # (two smoothing scales + gradients at 16 point samples, L2-matched;
+        # consecutive hovering-drone frames rotate < a few degrees)
         kps = features.fast_detect(gray, n_features, mask=mask, oriented=False)
-        desc = features.describe(gray, kps, oriented=False)
+        desc = features.describe_grid(gray, kps)
         return kps, desc
 
     # ------------------------------------------------------------------ API
@@ -160,8 +161,10 @@ class Stabilizer:
                 if use_mask else None
             )
             kps = features.fast_detect(gray, n_features, mask=mask, oriented=False)
-            desc = features.describe(gray, kps, oriented=False)
-            matches = features.match_descriptors(
+            desc = features.describe_grid(gray, kps)
+            from geotrax_tpu.ops.sift import match_l2
+
+            matches = match_l2(
                 desc, kps.valid, ref_desc, ref_valid, ratio=filter_ratio
             )
             src = kps.xy[matches.idx_a]

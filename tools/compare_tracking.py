@@ -22,18 +22,33 @@ from _common import *  # noqa: F401,F403
 
 def track_stats(folder: Path) -> dict:
     lengths, gaps, vehicles = [], [], 0
+    classes: dict[int, int] = {}
+    per_video: dict[str, dict] = {}
     for txt in sorted(Path(folder).glob("*.txt")):
         if "transf" in txt.stem:
             continue
         data = np.loadtxt(txt, delimiter=",")
         if data.ndim != 2 or data.shape[1] < 7:
             continue
+        v_lengths = []
         for tid in np.unique(data[:, 1]):
-            frames = np.sort(data[data[:, 1] == tid, 0].astype(int))
+            rows = data[data[:, 1] == tid]
+            frames = np.sort(rows[:, 0].astype(int))
             lengths.append(len(frames))
+            v_lengths.append(len(frames))
             gaps.extend((np.diff(frames) - 1)[np.diff(frames) > 1].tolist())
             vehicles += 1
-    return {"lengths": np.asarray(lengths), "gaps": np.asarray(gaps), "vehicles": vehicles}
+            # per-track class (post-vote it is constant; column -4 in the
+            # 14/15-col layouts, -2 in the 8-col layout)
+            cls_col = -4 if rows.shape[1] >= 12 else -2
+            c = int(rows[0, cls_col])
+            classes[c] = classes.get(c, 0) + 1
+        per_video[txt.stem] = {
+            "tracks": len(v_lengths),
+            "mean_len": float(np.mean(v_lengths)) if v_lengths else 0.0,
+        }
+    return {"lengths": np.asarray(lengths), "gaps": np.asarray(gaps),
+            "vehicles": vehicles, "classes": classes, "per_video": per_video}
 
 
 def kl_divergence(a: np.ndarray, b: np.ndarray, bins: int = 30) -> float:
@@ -65,6 +80,15 @@ def main() -> int:
             f"p90 {np.percentile(lens, 90):.0f} | gaps {len(s['gaps'])} "
             f"(max {s['gaps'].max() if len(s['gaps']) else 0})"
         )
+
+    for folder, s_ in stats.items():
+        if s_["per_video"]:
+            for stem, pv in sorted(s_["per_video"].items()):
+                print(f"  {folder.name}/{stem}: {pv['tracks']} tracks, "
+                      f"mean length {pv['mean_len']:.1f}")
+        if s_["classes"]:
+            dist = ", ".join(f"{c}: {n}" for c, n in sorted(s_["classes"].items()))
+            print(f"  {folder.name} class distribution: {dist}")
 
     folders = [f for f in args.folders if len(stats[f]["lengths"])]
     for i in range(len(folders)):
