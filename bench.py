@@ -3,8 +3,8 @@
 Measures the fused extraction chunk step (pipeline/device_pipeline.py) on
 synthetic 4K frames — letterbox, YOLOv8s forward (bf16 params + activations,
 f32 accumulation), fixed-shape class-agnostic NMS (max_det 1000), the FULL
-default-on stabilization pass (FAST corners + descriptors + MXU Hamming
-matching + 1250-hypothesis RANSAC at the default 0.5x downsample /
+default-on stabilization pass (FAST corners + grid descriptors + blockwise
+L2 matching + 1250-hypothesis RANSAC at the default 0.5x downsample /
 2000-feature budget, masked by the frame's own detections), GMC, a BoT-SORT
 tracker step per frame, and the stabilized-box transform — i.e. everything
 the reference runs per frame through model.track() + stabilo

@@ -106,10 +106,15 @@ def postprocess_detections(
 
     # Candidate pre-selection: NMS cost is O(K^2) in candidates; at 1920^2
     # there are ~43k anchors and the full IoU matrix would be ~7 GB. The
-    # score threshold keeps far fewer than 4*max_det in practice (ultralytics
-    # caps candidates the same way), so top-K first, NMS on K.
-    k = min(4 * max_det, boxes_xywh.shape[0])
-    top_scores, top_idx = jax.lax.top_k(scores, k)
+    # score threshold keeps far fewer than 2*max_det in practice (ultralytics
+    # caps candidates the same way), so top-K first, NMS on K. approx_max_k
+    # on TPU: the tail beyond ~2000 candidates is all sub-threshold zeros,
+    # where approximate recall is irrelevant.
+    k = min(2 * max_det, boxes_xywh.shape[0])
+    if jax.devices()[0].platform in ("tpu", "axon"):
+        top_scores, top_idx = jax.lax.approx_max_k(scores, k)
+    else:
+        top_scores, top_idx = jax.lax.top_k(scores, k)
     cand_boxes = boxes_xywh[top_idx]
     cand_classes = classes[top_idx]
 

@@ -103,3 +103,62 @@ def test_master_frame_detection_coverage(tmp_path):
     np.savetxt(tmp_path / "v.txt", np.asarray(rows, float), delimiter=",")
     cov = detections_per_frame(tmp_path / "v.txt")
     assert cov == {3: 2, 5: 7, 9: 1}
+
+
+def test_cut_tool_auto_with_srt_and_locations(tmp_path):
+    """End-to-end cut: merged video + DJI SRT -> GPS hover segmentation,
+    nearest-location labeling, keyframe snapping, per-cut CSV logs."""
+    cv2 = pytest.importorskip("cv2")
+    import subprocess
+    import sys
+    import json
+
+    n, w, h = 40, 128, 96
+    video = tmp_path / "merged.mp4"
+    rng = np.random.default_rng(0)
+    base = np.kron(rng.integers(0, 255, (12, 16, 3)), np.ones((8, 8, 1))).astype(np.uint8)
+    wr = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+    for t in range(n):
+        wr.write(base[:h, :w])
+    wr.release()
+
+    # SRT: hover at U (frames 0..17), transit, hover at K (frames 25..39)
+    blocks = []
+    for t in range(n):
+        if t < 18:
+            lat, lon = 37.3823, 126.6564
+        elif t < 25:
+            lat = 37.3823 + (t - 17) * 0.001
+            lon = 126.6564 + (t - 17) * 0.0005
+        else:
+            lat, lon = 37.3900, 126.6600
+        t0_ms, t1_ms = t * 33, (t + 1) * 33
+        blocks.append(
+            f"{t+1}\n{dji_srt.ms_to_timestamp(t0_ms)} --> {dji_srt.ms_to_timestamp(t1_ms)}\n"
+            f"FrameCnt: {t+1}, DiffTime: 33ms\n"
+            f"[latitude: {lat:.6f}] [longitude: {lon:.6f}] [rel_alt: 148.0 abs_alt: 160.0]\n"
+        )
+    (tmp_path / "merged.srt").write_text("\n".join(blocks))
+    (tmp_path / "loc.json").write_text(json.dumps(
+        {"U": [37.3823, 126.6564], "K": [37.3900, 126.6600]}
+    ))
+
+    tools = Path(__file__).resolve().parents[1] / "tools"
+    result = subprocess.run(
+        [sys.executable, str(tools / "cut_merged_videos_and_logs.py"), str(video),
+         "--auto", "--min-hover-frames", "10", "--locations", str(tmp_path / "loc.json"),
+         "--snap-keyframes", "--out", str(tmp_path / "clips")],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert result.returncode == 0, result.stderr
+    clips = sorted(p.name for p in (tmp_path / "clips").glob("*.mp4"))
+    assert any(c.startswith("U_") for c in clips), (clips, result.stdout)
+    assert any(c.startswith("K_") for c in clips), (clips, result.stdout)
+    # per-cut CSV flight logs rebased to clip-local frames
+    csvs = sorted((tmp_path / "clips").glob("*.csv"))
+    assert csvs
+    import pandas as pd
+
+    df = pd.read_csv(csvs[0])
+    assert df["frame"].iloc[0] == 0
+    assert {"latitude", "longitude"} <= set(df.columns)
