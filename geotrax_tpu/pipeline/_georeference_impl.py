@@ -203,19 +203,29 @@ def convert_dimensions(track_ids, veh_dim_px, frame_size, homography, ortho_para
     """Per-track px -> metre dimensions via probe points at the frame center
     (reference :651-680)."""
     length_px, width_px = veh_dim_px.T
-    length_real = np.full(len(length_px), np.nan)
-    width_real = np.full(len(width_px), np.nan)
     center = np.array([frame_size[1] / 2, frame_size[0] / 2])
-    for track_id in np.unique(track_ids):
-        rows = track_ids == track_id
-        lp, wp = length_px[rows][0], width_px[rows][0]
-        if np.isnan(lp) or np.isnan(wp):
-            continue
-        probes = np.array([center, center + [0, wp / 2], center + [lp / 2, 0]])
-        p1, p2, p3 = frame2local(probes, homography, ortho_params, source_crs, target_crs)
-        length_real[rows] = 2 * np.linalg.norm(p1 - p3)
-        width_real[rows] = 2 * np.linalg.norm(p1 - p2)
-    return length_real, width_real
+    # one batched frame2local over every track's 3 probe points instead of a
+    # per-track transform (the homography+CRS chain per call was the tail at
+    # Songdo scale, ~700k trajectories)
+    uniq, first_idx, inv = np.unique(track_ids, return_index=True,
+                                     return_inverse=True)
+    lp = length_px[first_idx]
+    wp = width_px[first_idx]
+    ok = ~(np.isnan(lp) | np.isnan(wp))
+    lr_u = np.full(len(uniq), np.nan)
+    wr_u = np.full(len(uniq), np.nan)
+    if ok.any():
+        lp_ok, wp_ok = lp[ok], wp[ok]
+        k = len(lp_ok)
+        probes = np.empty((3 * k, 2))
+        probes[0::3] = center
+        probes[1::3] = center + np.stack([np.zeros(k), wp_ok / 2], axis=1)
+        probes[2::3] = center + np.stack([lp_ok / 2, np.zeros(k)], axis=1)
+        pts = frame2local(probes, homography, ortho_params, source_crs, target_crs)
+        p1, p2, p3 = pts[0::3], pts[1::3], pts[2::3]
+        lr_u[ok] = 2 * np.linalg.norm(p1 - p3, axis=1)
+        wr_u[ok] = 2 * np.linalg.norm(p1 - p2, axis=1)
+    return lr_u[inv], wr_u[inv]
 
 
 def calculate_visibility(track_ids, bbox_unstab, frame_size, visibility_margin: int = 4):
@@ -273,8 +283,13 @@ def compute_kinematics(track_ids, frame_num, x_local, y_local, visibility, fps,
     (non-interpolated) points participate (reference :705-735)."""
     speed = np.full(len(track_ids), np.nan)
     acceleration = np.full(len(track_ids), np.nan)
-    for track_id in np.unique(track_ids):
-        idx = np.where(track_ids == track_id)[0]
+    # group rows per track via one stable sort (the per-track boolean scan
+    # was O(tracks x rows))
+    order = np.argsort(track_ids, kind="stable")
+    _, starts = np.unique(track_ids[order], return_index=True)
+    bounds = list(starts[1:]) + [len(order)]
+    for s, e in zip(starts, bounds):
+        idx = np.sort(order[s:e])
         real = (is_interpolated[idx] == 0) if is_interpolated is not None else np.ones(len(idx), bool)
         usable = visibility[idx] & real
         if usable.sum() < 3:
