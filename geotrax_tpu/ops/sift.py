@@ -226,7 +226,7 @@ def detect_and_describe(
         )
         xy, sc, an, va, de = _level_features(level, int(budgets[i]))
         xs.append(xy * (h / lh))
-        scores.append(sc * (1.0 + 0.0 * sc))  # per-level scores kept comparable
+        scores.append(sc)
         angles.append(an)
         valids.append(va)
         descs.append(de)

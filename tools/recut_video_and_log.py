@@ -7,6 +7,7 @@ flight-log rows with rebased frame numbers.
 
 Usage:
   python tools/recut_video_and_log.py VIDEO.mp4 -s 0 -e 150 -o OUT.mp4 [-ec]
+  python tools/recut_video_and_log.py VIDEO.mp4 -s 90 -e 400 -o OUT.mp4 --snap-keyframe
 """
 
 from __future__ import annotations
@@ -49,8 +50,23 @@ def main() -> int:
     parser.add_argument("--out", "-o", type=Path, required=True)
     parser.add_argument("--cut-log", "-ec", action="store_true",
                         help="Also cut + rebase the sibling flight-log CSV")
+    parser.add_argument("--snap-keyframe", action="store_true",
+                        help="Snap the start backward onto the nearest video keyframe "
+                             "(keyframe-aligned recut, reference recut_video_and_log.py)")
     args = parser.parse_args()
-    recut(args.video, args.start, args.end, args.out, args.cut_log)
+    start = args.start
+    if args.snap_keyframe:
+        import numpy as np
+
+        from geotrax_tpu.io.video import keyframe_indices
+
+        kf = np.asarray(keyframe_indices(args.video))
+        earlier = kf[kf <= start] if kf.size else np.array([])
+        snapped = int(earlier[-1]) if earlier.size else 0
+        if snapped != start:
+            print(f"start {start} snapped to keyframe {snapped}")
+        start = snapped
+    recut(args.video, start, args.end, args.out, args.cut_log)
     return 0
 
 
