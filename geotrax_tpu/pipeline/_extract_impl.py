@@ -276,8 +276,11 @@ def _track_video_fused(args, config, logger, reader, detector, tracker_cfg,
     t_start = time.time()
     pbar = tqdm(desc="Extracting", unit="frame")
 
-    def flush(buf):
-        nonlocal n_frames, device_ms
+    def dispatch(buf):
+        """Enqueue a chunk on the device; dispatch is async, so the host
+        keeps decoding/row-building while the device computes (the fetch
+        happens one chunk later in drain())."""
+        nonlocal device_ms
         n = len(buf)
         idxs = [i for i, _ in buf]
         frames = np.stack([f for _, f in buf])
@@ -289,6 +292,13 @@ def _track_video_fused(args, config, logger, reader, detector, tracker_cfg,
         fids = np.asarray(idxs, np.int64) - cut_left + 1
         t0 = time.time()
         out = fx.process_chunk(frames, fids, n)
+        device_ms += (time.time() - t0) * 1000
+        return out, idxs, n
+
+    def drain(pending):
+        nonlocal n_frames, device_ms
+        out, idxs, n = pending
+        t0 = time.time()
         out = jax.device_get(out)
         device_ms += (time.time() - t0) * 1000
 
@@ -330,13 +340,22 @@ def _track_video_fused(args, config, logger, reader, detector, tracker_cfg,
         pbar.update(n)
 
     buf = []
+    pending = None
     for item in reader:
         buf.append(item)
         if len(buf) == chunk:
-            flush(buf)
+            nxt = dispatch(buf)
+            if pending is not None:
+                drain(pending)
+            pending = nxt
             buf = []
     if buf:
-        flush(buf)
+        nxt = dispatch(buf)
+        if pending is not None:
+            drain(pending)
+        pending = nxt
+    if pending is not None:
+        drain(pending)
     pbar.close()
 
     elapsed = max(time.time() - t_start, 1e-9)

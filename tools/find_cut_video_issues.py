@@ -20,13 +20,18 @@ import pandas as pd
 from _common import *  # noqa: F401,F403
 
 
-def find_anomalies(log: pd.DataFrame, fps: float, tolerance: float = 3.0) -> list:
-    """[(frame_index_in_log, kind, detail)] of timestamp/frame anomalies."""
+def find_anomalies(log: pd.DataFrame, fps: float, tolerance: float = 3.0,
+                   gps_jump_m: float = 15.0, alt_jump_m: float = 10.0) -> list:
+    """[(frame_index_in_log, kind, detail)] of flight-log anomalies:
+    frame gaps/duplicates, missing or non-monotonic/jumping timestamps,
+    GPS position glitches and altitude spikes (per-frame jumps far beyond
+    what the platform can fly)."""
     out = []
     frames = log["frame"].to_numpy()
     gaps = np.diff(frames)
     for i in np.where(gaps != 1)[0]:
-        out.append((int(frames[i]), "frame-gap", f"jump {gaps[i]}"))
+        kind = "frame-duplicate" if gaps[i] == 0 else "frame-gap"
+        out.append((int(frames[i]), kind, f"jump {gaps[i]}"))
     stamps = pd.to_datetime(log["timestamp"], errors="coerce")
     missing = stamps.isna()
     for i in np.where(missing)[0]:
@@ -37,6 +42,22 @@ def find_anomalies(log: pd.DataFrame, fps: float, tolerance: float = 3.0) -> lis
     for i in bad:
         if not missing.iloc[i] and not missing.iloc[i - 1]:
             out.append((int(frames[i]), "timestamp-jump", f"dt={dt[i]:.3f}s"))
+    if {"latitude", "longitude"} <= set(log.columns):
+        lat = log["latitude"].to_numpy(dtype=float)
+        lon = log["longitude"].to_numpy(dtype=float)
+        mean_lat = np.nanmean(lat) if np.isfinite(lat).any() else 0.0
+        dx = np.diff(lon) * 111320.0 * np.cos(np.deg2rad(mean_lat))
+        dy = np.diff(lat) * 111320.0
+        step = np.hypot(dx, dy)
+        for i in np.where(step > gps_jump_m)[0]:
+            out.append((int(frames[i + 1]), "gps-jump", f"{step[i]:.1f} m/frame"))
+    alt_col = next((c for c in ("rel_alt", "abs_alt", "altitude")
+                    if c in log.columns), None)
+    if alt_col is not None:
+        dalt = np.abs(np.diff(log[alt_col].to_numpy(dtype=float)))
+        for i in np.where(dalt > alt_jump_m)[0]:
+            out.append((int(frames[i + 1]), "altitude-spike",
+                        f"{dalt[i]:.1f} m/frame ({alt_col})"))
     return sorted(out)
 
 
