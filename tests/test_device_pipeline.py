@@ -167,3 +167,44 @@ def test_fused_path_not_selected_for_oracle_detectors():
 
     oracle = OracleDetector(lambda i: [], max_det=4)
     assert not hasattr(oracle, "batch_trace")
+
+
+class TwoBoxDetector:
+    """Traceable stub emitting two fixed boxes per frame (ReID wiring test)."""
+
+    is_rtdetr = False
+
+    def batch_trace(self, src_h, src_w):
+        def run(frames_u8):
+            c = frames_u8.shape[0]
+            b = jnp.zeros((c, MAX_DET, 4))
+            b = b.at[:, 0].set(jnp.asarray([40.0, 48.0, 24, 24]))
+            b = b.at[:, 1].set(jnp.asarray([90.0, 48.0, 24, 24]))
+            v = jnp.zeros((c, MAX_DET), bool).at[:, :2].set(True)
+            return {
+                "boxes_xywh": b,
+                "scores": jnp.where(v, 0.9, 0.0),
+                "classes": jnp.zeros((c, MAX_DET), jnp.int32),
+                "valid": v,
+            }
+
+        return run
+
+
+def test_fused_pipeline_with_reid_runs_and_embeds():
+    """with_reid=true end-to-end through the fused chunk step: embeddings are
+    computed on device and the tracker keeps both IDs across chunks."""
+    cfg, state, step = make_tracker(
+        "botsort", {**TRACKER_PARAMS, "with_reid": True, "gmc_method": "none"},
+        max_tracks=16,
+    )
+    fx = FusedExtractor(TwoBoxDetector(), None, step, state, H, W,
+                        use_gmc=False, chunk=CH, with_reid=True)
+    rng = np.random.default_rng(9)
+    frames = np.stack([_textured(rng)] * CH)
+    out1 = fx.process_chunk(frames, np.arange(1, CH + 1), CH)
+    out2 = fx.process_chunk(frames, np.arange(CH + 1, 2 * CH + 1), CH)
+    ids_last = sorted(np.asarray(out2.track_id)[-1][np.asarray(out2.valid)[-1]])
+    assert ids_last == [1, 2]
+    emb = np.asarray(fx.state.emb[:2])
+    assert np.abs(np.linalg.norm(emb, axis=1) - 1.0).max() < 1e-4  # live EMA embeddings
