@@ -22,8 +22,11 @@ extern "C" {
 #include <libswscale/swscale.h>
 }
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <utility>
+#include <vector>
 
 namespace {
 
@@ -153,10 +156,14 @@ int gtx_read_frame(void* h, uint8_t* rgb_out) {
 
 void gtx_close(void* h) { destroy(static_cast<Decoder*>(h)); }
 
-// Keyframe scan: walk the packet stream (no decode) recording the frame
-// index of every packet flagged AV_PKT_FLAG_KEY. The data-prep cut tools
-// snap cut starts to these indices so re-encoded clips begin on an I-frame
-// (reference cut_merged_videos_and_logs.py's I-frame snapping capability).
+// Keyframe scan: walk the packet stream (no decode) recording the DISPLAY
+// frame index of every packet flagged AV_PKT_FLAG_KEY. Packets arrive in
+// decode order, which differs from display order when the stream has
+// B-frames, so indices are derived by sorting the per-packet timestamps
+// (pts, falling back to dts) rather than counting packet arrival. The
+// data-prep cut tools snap cut starts to these indices so re-encoded clips
+// begin on an I-frame (reference cut_merged_videos_and_logs.py's I-frame
+// snapping capability).
 // Returns the number of keyframes written into out (up to max_out), or -1.
 long gtx_keyframe_indices(const char* path, long* out, long max_out) {
   AVFormatContext* fmt = nullptr;
@@ -172,14 +179,31 @@ long gtx_keyframe_indices(const char* path, long* out, long max_out) {
     return -1;
   }
   AVPacket* pkt = av_packet_alloc();
-  long frame = 0;
-  long n = 0;
+  std::vector<std::pair<int64_t, int>> stamps;  // (timestamp, is_key)
+  bool have_ts = true;
+  long arrival = 0;
   while (av_read_frame(fmt, pkt) >= 0) {
     if (pkt->stream_index == stream_index) {
-      if ((pkt->flags & AV_PKT_FLAG_KEY) && n < max_out) out[n++] = frame;
-      ++frame;
+      int64_t ts = pkt->pts != AV_NOPTS_VALUE ? pkt->pts : pkt->dts;
+      if (ts == AV_NOPTS_VALUE) {
+        have_ts = false;
+        ts = arrival;  // degenerate stream: keep packet order
+      }
+      stamps.emplace_back(ts, (pkt->flags & AV_PKT_FLAG_KEY) ? 1 : 0);
+      ++arrival;
     }
     av_packet_unref(pkt);
+  }
+  if (have_ts) {
+    std::stable_sort(stamps.begin(), stamps.end(),
+                     [](const std::pair<int64_t, int>& a,
+                        const std::pair<int64_t, int>& b) {
+                       return a.first < b.first;
+                     });
+  }
+  long n = 0;
+  for (long i = 0; i < static_cast<long>(stamps.size()) && n < max_out; ++i) {
+    if (stamps[i].second) out[n++] = i;
   }
   av_packet_free(&pkt);
   avformat_close_input(&fmt);

@@ -268,7 +268,10 @@ class VideoWriter:
         self._writer = None
         self.width, self.height = int(width), int(height)
         backend = backend or os.environ.get("GEOTRAX_VIDEO_BACKEND")
-        if backend != "cv2" and fourcc.lower() in ("mp4v", "avc1"):
+        # The native encoder emits MPEG-4 Part 2 only; a caller explicitly
+        # asking for H.264 ('avc1') falls through to cv2 so the requested
+        # codec is honored.
+        if backend != "cv2" and fourcc.lower() == "mp4v":
             from geotrax_tpu.io.native import load_encoder_library
 
             lib = load_encoder_library()

@@ -75,10 +75,14 @@ def initiate(measurement: jnp.ndarray, fmt: str = "xyah") -> KFState:
     0 with inflated uncertainty (2x position / 10x velocity std)."""
     mean = jnp.concatenate([measurement, jnp.zeros_like(measurement)], axis=-1)
     std_pos, std_vel = _noise_stds(mean, fmt)
-    cov = jnp.stack(
-        [(2 * std_pos) ** 2, jnp.zeros_like(std_pos), (10 * std_vel) ** 2],
-        axis=-1,
-    )
+    p_xx = (2 * std_pos) ** 2
+    p_vv = (10 * std_vel) ** 2
+    if fmt == "xyah":
+        # The aspect channel's init stds are the fixed constants 1e-2 / 1e-5
+        # (not scaled by the 2x/10x multipliers) in the ByteTrack lineage.
+        p_xx = p_xx.at[..., 2].set(1e-4)
+        p_vv = p_vv.at[..., 2].set(1e-10)
+    cov = jnp.stack([p_xx, jnp.zeros_like(std_pos), p_vv], axis=-1)
     return KFState(mean, cov)
 
 

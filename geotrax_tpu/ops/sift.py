@@ -225,7 +225,10 @@ def detect_and_describe(
             gray, (lh, lw), method="linear"
         )
         xy, sc, an, va, de = _level_features(level, int(budgets[i]))
-        xs.append(xy * (h / lh))
+        # Per-axis rescale: int rounding makes h/lh != w/lw on non-square
+        # frames — a shared factor would skew x by several px at the far
+        # corner of a large level (inside the 3 px MAGSAC budget).
+        xs.append(xy * jnp.asarray([w / lw, h / lh], xy.dtype))
         scores.append(sc)
         angles.append(an)
         valids.append(va)

@@ -72,6 +72,10 @@ def make_tiled_detector(params, spec, n_tiles: int, src_h: int, src_w: int,
             lambda f: yolov8.letterbox(f, out_h, out_w, new_h, new_w, top, left)
         )(tiles)
         boxes, probs = yolov8.forward(params, imgs, spec)
+        # bf16 checkpoints: global-coordinate math (x_offsets up to 3840)
+        # quantizes to ~16 px in bf16 — cast up before postprocess/merge.
+        boxes = boxes.astype(jnp.float32)
+        probs = probs.astype(jnp.float32)
         det = jax.vmap(
             lambda b, p: postprocess_detections(
                 b, p, conf, iou, per_tile, agnostic=True)

@@ -211,6 +211,6 @@ def test_bytetrack_matches_numpy_oracle():
         assert set(got) == set(want), f"frame {t + 1}: ids {sorted(got)} vs oracle {sorted(want)}"
         for tid in want:
             np.testing.assert_allclose(
-                got[tid], want[tid], rtol=1e-3, atol=5e-2,
+                got[tid], want[tid], rtol=1e-4, atol=2e-3,
                 err_msg=f"frame {t + 1}, track {tid}",
             )
