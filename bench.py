@@ -62,7 +62,7 @@ class BenchDetector:
         spec, params = self.spec, self.params
         conf, iou, max_det = self.conf, self.iou, self.max_det
 
-        def run(frames_u8):
+        def run(frames_u8, fids=None):
             imgs = jax.vmap(
                 lambda f: yolov8.letterbox(f, out_h, out_w, new_h, new_w, top, left)
             )(frames_u8).astype(jnp.bfloat16)

@@ -187,7 +187,7 @@ class Detector:
         conf, iou, max_det = self.conf, self.iou, self.max_det
         class_mask, agnostic = self.class_mask, self.agnostic
 
-        def run(frames_u8):
+        def run(frames_u8, fids=None):
             imgs = jax.vmap(
                 lambda f: yolov8.letterbox(f, out_h, out_w, new_h, new_w, top, left)
             )(frames_u8)
@@ -224,11 +224,16 @@ class OracleDetector:
     (used with SyntheticVideoReader so the extraction pipeline runs
     hermetically — the fake-backend pattern from SURVEY.md §4)."""
 
-    def __init__(self, boxes_by_frame, max_det: int = 8, score: float = 0.9, cls: int = 0):
+    is_rtdetr = False
+
+    def __init__(self, boxes_by_frame, max_det: int = 8, score: float = 0.9,
+                 cls: int = 0, table_frames: int = 512, frame_offset: int = 0):
         self.boxes_by_frame = boxes_by_frame
         self.max_det = max_det
         self.score = score
         self.cls = cls
+        self.table_frames = table_frames
+        self.frame_offset = frame_offset
         self.class_names = {0: "car", 1: "bus", 2: "truck", 3: "motorcycle"}
 
     def __call__(self, frame_rgb_u8, frame_index: int = 0) -> dict:
@@ -250,3 +255,52 @@ class OracleDetector:
             "classes": jnp.asarray(c),
             "valid": jnp.asarray(v),
         }
+
+    def batch_trace(self, src_h: int, src_w: int):
+        """Traceable batched lookup so the FUSED chunk path runs under the
+        hermetic e2e tests (fused-vs-sequential parity, VERDICT r2 #4): the
+        per-frame oracle boxes are precomputed into a device table indexed by
+        the chunk's (1-based) internal frame ids. Frames beyond
+        ``table_frames`` read the empty tail row."""
+        t = self.table_frames
+        tb = np.zeros((t + 1, self.max_det, 4), np.float32)
+        ts = np.zeros((t + 1, self.max_det), np.float32)
+        tc = np.full((t + 1, self.max_det), -1, np.int32)
+        tv = np.zeros((t + 1, self.max_det), bool)
+        for f in range(t):
+            det = self(None, f + self.frame_offset)
+            tb[f] = np.asarray(det["boxes_xywh"])
+            ts[f] = np.asarray(det["scores"])
+            tc[f] = np.asarray(det["classes"])
+            tv[f] = np.asarray(det["valid"])
+        tb, ts, tc, tv = map(jnp.asarray, (tb, ts, tc, tv))
+
+        def run(frames_u8, fids=None):
+            c = frames_u8.shape[0]
+            if fids is None:
+                idx = jnp.arange(c)
+            else:
+                idx = jnp.clip(fids.astype(jnp.int32) - 1, 0, t)
+            return {
+                "boxes_xywh": tb[idx],
+                "scores": ts[idx],
+                "classes": tc[idx],
+                "valid": tv[idx],
+            }
+
+        return run
+
+
+class SequentialOnly:
+    """Wrapper hiding ``batch_trace`` so extraction routes a fused-capable
+    detector through the sequential per-frame loop (parity tests)."""
+
+    is_rtdetr = False
+
+    def __init__(self, detector):
+        self._d = detector
+        self.max_det = detector.max_det
+        self.class_names = detector.class_names
+
+    def __call__(self, frame_rgb_u8, frame_index: int = 0):
+        return self._d(frame_rgb_u8, frame_index)

@@ -55,6 +55,12 @@ def downsample(gray: jnp.ndarray, ratio: float) -> jnp.ndarray:
     if ratio >= 1.0:
         return gray
     h, w = gray.shape
+    if ratio == 0.5 and h % 2 == 0 and w % 2 == 0:
+        # 2x2 mean via reduce_window: ~2.5x faster than the gather-based
+        # resize at 4K (strided-slice and reshape-mean forms hit pathological
+        # TPU layouts — measured 15-320 ms/frame vs 0.6 ms for this).
+        s = jax.lax.reduce_window(gray, 0.0, jax.lax.add, (2, 2), (2, 2), "VALID")
+        return s * 0.25
     return jax.image.resize(gray, (int(h * ratio), int(w * ratio)), method="linear")
 
 
@@ -451,6 +457,23 @@ _GRID_OFFS = np.array([-9, -3, 3, 9], dtype=np.int32)
 GRID_DESC_DIM = 64  # 16 grid points x 4 channels
 
 
+def _gaussian_blur_bf16(gray: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
+    """bf16 tap-sum blur: halves the bandwidth of the ~52 dense passes in
+    describe_grid (measured 1.88 -> 1.39 ms/frame at 1080p/K=2000, mean
+    descriptor dot vs f32 = 0.99). NOT for the SIFT DoG path — differences
+    of blurs cancel catastrophically in bf16 (use _gaussian_blur there)."""
+    radius = int(3 * sigma + 0.5)
+    x = np.arange(-radius, radius + 1)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k = (k / k.sum()).astype(np.float32)
+    taps = 2 * radius + 1
+    h, w = gray.shape
+    rows = jnp.pad(gray.astype(jnp.bfloat16), ((0, 0), (radius, radius)))
+    blurred = sum(jnp.bfloat16(k[i]) * rows[:, i:i + w] for i in range(taps))
+    cols = jnp.pad(blurred, ((radius, radius), (0, 0)))
+    return sum(jnp.bfloat16(k[i]) * cols[i:i + h, :] for i in range(taps))
+
+
 @partial(jax.jit, static_argnames=())
 def describe_grid(gray: jnp.ndarray, kps: Keypoints) -> jnp.ndarray:
     """64-D float descriptors for same-scale matching via POINT gathers.
@@ -463,21 +486,22 @@ def describe_grid(gray: jnp.ndarray, kps: Keypoints) -> jnp.ndarray:
     ops/pallas_patches.py is no faster). Illumination handling: the
     per-keypoint mean brightness is removed from the intensity channels
     (additive shifts) and the vector is L2-normalized (gain); matched with
-    L2 distance (ops/sift.py:match_l2), not Hamming.
+    L2 distance (ops/sift.py:match_l2), not Hamming. The dense planes are
+    bf16 (see _gaussian_blur_bf16); normalization runs in f32.
     """
     h, w = gray.shape
-    s2 = _gaussian_blur(gray, sigma=2.0)
-    gx = 0.5 * (jnp.roll(s2, -1, axis=1) - jnp.roll(s2, 1, axis=1))
-    gy = 0.5 * (jnp.roll(s2, -1, axis=0) - jnp.roll(s2, 1, axis=0))
-    s4 = _gaussian_blur(s2, sigma=2.0)
-    planes = jnp.stack([s2, gx, gy, s4], axis=-1)  # (H,W,4)
+    s2 = _gaussian_blur_bf16(gray, sigma=2.0)
+    gx = jnp.bfloat16(0.5) * (jnp.roll(s2, -1, axis=1) - jnp.roll(s2, 1, axis=1))
+    gy = jnp.bfloat16(0.5) * (jnp.roll(s2, -1, axis=0) - jnp.roll(s2, 1, axis=0))
+    s4 = _gaussian_blur_bf16(s2, sigma=2.0)
+    planes = jnp.stack([s2, gx, gy, s4], axis=-1)  # (H,W,4) bf16
 
     dy, dx = np.meshgrid(_GRID_OFFS, _GRID_OFFS, indexing="ij")
     dy = jnp.asarray(dy.reshape(-1))
     dx = jnp.asarray(dx.reshape(-1))
     ky = jnp.clip(kps.xy[:, 1].astype(jnp.int32)[:, None] + dy[None], 0, h - 1)
     kx = jnp.clip(kps.xy[:, 0].astype(jnp.int32)[:, None] + dx[None], 0, w - 1)
-    vals = planes[ky, kx]  # (K,16,4)
+    vals = planes[ky, kx].astype(jnp.float32)  # (K,16,4)
 
     m2 = vals[..., 0].mean(axis=1, keepdims=True)
     m4 = vals[..., 3].mean(axis=1, keepdims=True)

@@ -16,18 +16,48 @@ import jax.numpy as jnp
 def apply_homography(h: jnp.ndarray, points: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     """Transform (..., N, 2) points by (..., 3, 3) homographies.
 
-    Full-f32 einsum: TPU matmuls default to bf16, which is catastrophic for
-    the normalize/denormalize cancellations in this geometry path.
+    Unrolled elementwise form (full f32 on the VPU): an einsum here is a
+    dot_general with contraction size 3, which the TPU pads to a full MXU
+    tile — 40x wasted lanes on RANSAC's (hyps, N) scoring matrices — and
+    whose bf16 default is catastrophic for the normalize/denormalize
+    cancellations in this geometry path.
     """
-    ones = jnp.ones(points.shape[:-1] + (1,), dtype=points.dtype)
-    homog = jnp.concatenate([points, ones], axis=-1)
-    with jax.default_matmul_precision("highest"):
-        mapped = jnp.einsum("...ij,...nj->...ni", h, homog)
-    return mapped[..., :2] / (mapped[..., 2:3] + eps)
+    x, y = points[..., 0], points[..., 1]
+    hb = h[..., None, :, :]  # broadcast over the points axis
+    mx = hb[..., 0, 0] * x + hb[..., 0, 1] * y + hb[..., 0, 2]
+    my = hb[..., 1, 0] * x + hb[..., 1, 1] * y + hb[..., 1, 2]
+    mw = hb[..., 2, 0] * x + hb[..., 2, 1] * y + hb[..., 2, 2]
+    return jnp.stack([mx, my], axis=-1) / (mw[..., None] + eps)
 
 
 def invert_homography(h: jnp.ndarray) -> jnp.ndarray:
     return jnp.linalg.inv(h)
+
+
+def matmul3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched (..., 3, 3) @ (..., 3, 3) as unrolled elementwise math.
+
+    A batched tiny dot_general pads each 3x3 operand to an MXU tile; over
+    RANSAC's thousands of hypotheses that is ~2.5x slower than 27 fused
+    multiply-adds on the VPU (measured 0.38 -> 0.15 ms/frame in the
+    1250-hypothesis minimal-fit stage)."""
+    rows = []
+    for i in range(3):
+        cols = []
+        for j in range(3):
+            cols.append(a[..., i, 0] * b[..., 0, j]
+                        + a[..., i, 1] * b[..., 1, j]
+                        + a[..., i, 2] * b[..., 2, j])
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
+def matvec3(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched (..., 3, 3) @ (..., 3) without dot_general (see matmul3)."""
+    return jnp.stack([
+        m[..., i, 0] * v[..., 0] + m[..., i, 1] * v[..., 1] + m[..., i, 2] * v[..., 2]
+        for i in range(3)
+    ], axis=-1)
 
 
 def compose(h_outer: jnp.ndarray, h_inner: jnp.ndarray) -> jnp.ndarray:
@@ -131,7 +161,7 @@ def _projective_basis(points4: jnp.ndarray) -> jnp.ndarray:
     v ∝ [p1 p2 p3]^-1 p4 (scale-free via the adjugate)."""
     p = jnp.concatenate([points4, jnp.ones_like(points4[..., :1])], -1)  # (...,4,3)
     m = jnp.stack([p[..., 0, :], p[..., 1, :], p[..., 2, :]], -1)        # columns
-    v = jnp.einsum("...ij,...j->...i", adjugate3(m), p[..., 3, :])
+    v = matvec3(adjugate3(m), p[..., 3, :])
     return m * v[..., None, :]
 
 
@@ -182,9 +212,8 @@ def fit_homography_minimal(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     d = apply_homography(t_dst, dst)
     b_src = _projective_basis(s)
     b_dst = _projective_basis(d)
-    with jax.default_matmul_precision("highest"):
-        h_norm = b_dst @ adjugate3(b_src)
-        h = _sim_inverse(t_dst) @ h_norm @ t_src
+    h_norm = matmul3(b_dst, adjugate3(b_src))
+    h = matmul3(matmul3(_sim_inverse(t_dst), h_norm), t_src)
     return normalize_h(h)
 
 

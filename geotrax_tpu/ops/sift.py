@@ -117,11 +117,14 @@ def _circular_shift_bins(vals: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("budget", "cell"))
 def _level_features(level_img: jnp.ndarray, budget: int, cell: int = 4,
-                    dog_sigma: float = 1.6, edge_thresh: float = 12.0):
+                    dog_sigma: float = 1.6, edge_thresh: float = 12.0,
+                    row_bounds=None):
     """Detect + describe on one pyramid level.
 
     Returns (xy_level (K,2), score, angle, valid, desc (K,128)). xy are in
     THIS level's pixel coordinates; the caller rescales to level 0.
+    ``row_bounds`` (lo, hi) restricts keypoints to a core row interval —
+    the band-streamed path uses it to drop overlap-halo duplicates.
     """
     h, w = level_img.shape
     g1 = _gaussian_blur(level_img, dog_sigma)
@@ -146,12 +149,20 @@ def _level_features(level_img: jnp.ndarray, budget: int, cell: int = 4,
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]
     inside = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+    if row_bounds is not None:
+        lo, hi = row_bounds
+        inside = inside & (ys >= lo) & (ys < hi)
     score = jnp.where(inside, score, 0.0)
     neighborhood = jax.lax.reduce_window(
         score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
     )
     score = jnp.where(score >= neighborhood, score, 0.0)
-    top, flat = jax.lax.top_k(score.reshape(-1), budget)
+    if jax.devices()[0].platform in ("tpu", "axon"):
+        # exact PartialReduce beats the full sort on multi-megapixel levels
+        top, flat = jax.lax.approx_max_k(score.reshape(-1), budget,
+                                         recall_target=1.0)
+    else:
+        top, flat = jax.lax.top_k(score.reshape(-1), budget)
     kx = (flat % w).astype(jnp.float32)
     ky = (flat // w).astype(jnp.float32)
     valid = top > 1e-6
@@ -199,6 +210,64 @@ def _level_features(level_img: jnp.ndarray, budget: int, cell: int = 4,
     return jnp.stack([kx, ky], -1), top, angle, valid, desc
 
 
+# Levels above this pixel count stream through horizontal bands: the
+# (H,W,8) orientation-plane working set is 32 B/px x ~3 copies, so a
+# 15000^2 ortho cutout (225 Mpx, reference cfg georef.cutout_width_px)
+# would need >20 GB monolithically — over a single chip's HBM.
+BAND_PIXEL_LIMIT = 32_000_000
+BAND_OVERLAP = 32  # blur/descriptor halo (DoG r8 + orientation r7 + grid 7)
+
+
+def _level_features_banded(level_img: jnp.ndarray, budget: int) -> tuple:
+    """Band-streamed _level_features for levels too large to hold the
+    orientation planes in HBM: horizontal bands with a BAND_OVERLAP halo run
+    sequentially under lax.map (one band's working set live at a time);
+    keypoints are restricted to each band's core rows, then the per-band
+    results are concatenated and cut to the global ``budget`` by score.
+
+    Selection semantics: per-band quotas (budget/n_bands each) instead of a
+    whole-image top-k — spatially more uniform than OpenCV SIFT's global
+    contrast ordering, which helps RANSAC conditioning on large orthos.
+    """
+    h, w = level_img.shape
+    n_bands = int(np.ceil(h * w / BAND_PIXEL_LIMIT))
+    core = int(np.ceil(h / n_bands))
+    band_h = min(core + 2 * BAND_OVERLAP, h)
+    band_budget = int(np.ceil(budget / n_bands))
+
+    starts, bounds = [], []
+    for i in range(n_bands):
+        c0 = i * core
+        c1 = min(c0 + core, h)
+        s0 = min(max(c0 - BAND_OVERLAP, 0), h - band_h)
+        starts.append(s0)
+        bounds.append((c0 - s0, c1 - s0))
+    bands = jnp.stack([
+        jax.lax.dynamic_slice(level_img, (s0, 0), (band_h, w)) for s0 in starts
+    ])
+    bounds_arr = jnp.asarray(bounds, jnp.int32)          # (nb, 2)
+    starts_arr = jnp.asarray(starts, jnp.float32)
+
+    def one(band_and_meta):
+        band, bnd, s0 = band_and_meta
+        xy, sc, an, va, de = _level_features(
+            band, band_budget, row_bounds=(bnd[0], bnd[1])
+        )
+        xy = xy + jnp.stack([jnp.float32(0.0), s0])
+        return xy, sc, an, va, de
+
+    xy, sc, an, va, de = jax.lax.map(one, (bands, bounds_arr, starts_arr))
+    xy = xy.reshape(-1, 2)
+    sc = sc.reshape(-1)
+    an = an.reshape(-1)
+    va = va.reshape(-1)
+    de = de.reshape(-1, DESC_DIM)
+    if sc.shape[0] > budget:
+        top_sc, idx = jax.lax.top_k(jnp.where(va, sc, 0.0), budget)
+        xy, sc, an, va, de = xy[idx], sc[idx], an[idx], va[idx] & (top_sc > 0), de[idx]
+    return xy, sc, an, va, de
+
+
 def detect_and_describe(
     gray: jnp.ndarray,
     max_features: int,
@@ -224,7 +293,10 @@ def detect_and_describe(
         level = gray if s == 1.0 else jax.image.resize(
             gray, (lh, lw), method="linear"
         )
-        xy, sc, an, va, de = _level_features(level, int(budgets[i]))
+        if lh * lw > BAND_PIXEL_LIMIT:
+            xy, sc, an, va, de = _level_features_banded(level, int(budgets[i]))
+        else:
+            xy, sc, an, va, de = _level_features(level, int(budgets[i]))
         # Per-axis rescale: int rounding makes h/lh != w/lw on non-square
         # frames — a shared factor would skew x by several px at the far
         # corner of a large level (inside the 3 px MAGSAC budget).
@@ -265,13 +337,17 @@ def match_l2(desc_a, valid_a, desc_b, valid_b, ratio: float = 0.55,
         b_best, b_row = carry  # (Kb,) running best dist + owning A row
         a = jax.lax.dynamic_slice(desc_ap, (i * block, 0), (block, desc_a.shape[1]))
         av = jax.lax.dynamic_slice(valid_ap, (i * block,), (block,))
-        with jax.default_matmul_precision("highest"):
-            dots = a @ desc_b.T
+        # f32 DEFAULT matmul precision: descriptors are unit-norm, so the
+        # single-pass bf16 dot's ~0.4% error is far inside the Lowe-ratio
+        # margin — HIGHEST would spend 6 MXU passes on the dominant matmul.
+        dots = a @ desc_b.T
         na2 = jnp.sum(a * a, axis=-1)
         d2 = jnp.maximum(na2[:, None] + nb2[None, :] - 2.0 * dots, 0.0)
         d = jnp.sqrt(d2)
         d = jnp.where(av[:, None] & valid_b[None, :], d, big)
 
+        # top-2 smallest via min/argmin passes: approx_max_k(k=2) here runs
+        # 13x slower under the chunk vmap (measured 0.60 -> 7.8 ms/frame)
         best_idx = jnp.argmin(d, axis=1).astype(jnp.int32)
         best = jnp.min(d, axis=1)
         cols = jnp.arange(kb, dtype=jnp.int32)

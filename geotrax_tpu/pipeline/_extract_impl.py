@@ -185,11 +185,20 @@ def track_video(args, config: dict, logger) -> tuple:
                     logger.warning(f"Frame {frame_idx}: singular stabilization H; GMC skipped.")
             h_prev = h_cur
 
+            # ---- appearance embeddings (same device op as the fused path)
+            det_emb = None
+            if bool(getattr(tracker_cfg, "with_reid", False)):
+                from geotrax_tpu.pipeline.device_pipeline import embed_boxes
+
+                det_emb = embed_boxes(
+                    jnp.asarray(frame)[None], jnp.asarray(det["boxes_xywh"])[None]
+                )[0]
+
             # ---- tracker step (frame ids are 1-based inside the tracker)
             internal_frame = frame_idx - cut_left + 1
             tracker_state, out = tracker_step(
                 tracker_state, det["boxes_xywh"], det["scores"], det["classes"],
-                det["valid"], internal_frame, gmc_h,
+                det["valid"], internal_frame, gmc_h, det_emb,
             )
             valid = np.asarray(out.valid)
             ids = np.asarray(out.track_id)[valid]

@@ -211,7 +211,7 @@ class FusedExtractor:
     def _chunk_impl(self, frames_u8, state, ref: Optional[RefFeatures],
                     gmc_carry, h_prev, key, fids, n_valid, *, first: bool):
         c = frames_u8.shape[0]
-        det = self._detect(frames_u8)
+        det = self._detect(frames_u8, fids)
         det_boxes, det_valid = det["boxes_xywh"], det["valid"]
         det_emb = None
         if self.with_reid:

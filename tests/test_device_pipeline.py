@@ -23,7 +23,7 @@ class NullDetector:
     is_rtdetr = False
 
     def batch_trace(self, src_h, src_w):
-        def run(frames_u8):
+        def run(frames_u8, fids=None):
             c = frames_u8.shape[0]
             return {
                 "boxes_xywh": jnp.zeros((c, MAX_DET, 4)),
@@ -159,14 +159,16 @@ def test_tail_chunk_padding_is_masked():
     assert not valid[2:].any()  # masked frames emit nothing
 
 
-def test_fused_path_not_selected_for_oracle_detectors():
-    """track_video routes through the fused pipeline only when the detector
-    supports batch tracing; the oracle test double must keep using the
-    sequential loop (its detections are host-indexed)."""
-    from geotrax_tpu.models.detector import OracleDetector
+def test_fused_path_selected_for_oracle_detectors():
+    """The oracle test double now batch-traces (device table gathered by
+    frame id), so hermetic e2e tests exercise the PRODUCTION fused path;
+    SequentialOnly re-routes to the sequential loop for parity tests
+    (tests/test_fused_parity.py)."""
+    from geotrax_tpu.models.detector import OracleDetector, SequentialOnly
 
     oracle = OracleDetector(lambda i: [], max_det=4)
-    assert not hasattr(oracle, "batch_trace")
+    assert hasattr(oracle, "batch_trace")
+    assert not hasattr(SequentialOnly(oracle), "batch_trace")
 
 
 class TwoBoxDetector:
@@ -175,7 +177,7 @@ class TwoBoxDetector:
     is_rtdetr = False
 
     def batch_trace(self, src_h, src_w):
-        def run(frames_u8):
+        def run(frames_u8, fids=None):
             c = frames_u8.shape[0]
             b = jnp.zeros((c, MAX_DET, 4))
             b = b.at[:, 0].set(jnp.asarray([40.0, 48.0, 24, 24]))

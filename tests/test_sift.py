@@ -125,3 +125,57 @@ def test_rotation_only_recovery():
                       np.repeat(dst[..., None], 3, -1).astype(np.uint8), "rsift")
     assert h_est is not None
     assert reproj_error(h_est, H, w, h) < 3.0
+
+
+def test_banded_level_features_matches_whole(monkeypatch):
+    """Band-streamed detection (the 15000^2-ortho memory path) finds the
+    same keypoints as the monolithic path on an image where banding is
+    forced: per-band quotas cover every band's core, coordinates are
+    band-offset back to level space, and descriptors agree."""
+    img = jnp.asarray(aerial_like(320, 512, seed=3))
+    budget = 96
+
+    xy_w, sc_w, an_w, va_w, de_w = sift._level_features(img, budget)
+    monkeypatch.setattr(sift, "BAND_PIXEL_LIMIT", 320 * 512 // 3)  # ~3 bands
+    xy_b, sc_b, an_b, va_b, de_b = sift._level_features_banded(img, budget)
+
+    assert int(va_b.sum()) > 0
+    kw = {tuple(np.round(p, 1)) for p in np.asarray(xy_w)[np.asarray(va_w)]}
+    kb = {tuple(np.round(p, 1)) for p in np.asarray(xy_b)[np.asarray(va_b)]}
+    # per-band quotas select a (spatially more uniform) subset of the same
+    # corner population: the overlap must be substantial and every banded
+    # keypoint must be a real maximum found by the whole-image pass when the
+    # budget is unconstrained
+    xy_all, _, _, va_all, de_all = sift._level_features(img, 512)
+    ka = {tuple(np.round(p, 1)) for p in np.asarray(xy_all)[np.asarray(va_all)]}
+    assert len(kb & ka) / max(len(kb), 1) > 0.95
+
+    # descriptor parity for keypoints found by both paths
+    pos_w = {tuple(np.round(p, 1)): i for i, p in enumerate(np.asarray(xy_w))}
+    n_checked = 0
+    for i, p in enumerate(np.asarray(xy_b)):
+        key = tuple(np.round(p, 1))
+        if bool(va_b[i]) and key in pos_w:
+            j = pos_w[key]
+            dot = float(jnp.sum(de_b[i] * de_w[j]))
+            assert dot > 0.99, f"descriptor drift at {key}: dot={dot}"
+            n_checked += 1
+    assert n_checked >= 10
+
+
+def test_detect_and_describe_uses_banding_for_large_levels(monkeypatch):
+    """detect_and_describe dispatches levels above BAND_PIXEL_LIMIT to the
+    banded path (memory ceiling for the reference's 15000^2 cutout)."""
+    calls = {"banded": 0}
+    orig = sift._level_features_banded
+
+    def spy(level, budget):
+        calls["banded"] += 1
+        return orig(level, budget)
+
+    monkeypatch.setattr(sift, "BAND_PIXEL_LIMIT", 200 * 200)
+    monkeypatch.setattr(sift, "_level_features_banded", spy)
+    img = jnp.asarray(aerial_like(384, 512, seed=5))
+    feats = sift.detect_and_describe(img, 256)
+    assert calls["banded"] >= 1  # at least the full-res level banded
+    assert int(feats.valid.sum()) > 0
