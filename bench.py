@@ -1,28 +1,33 @@
-"""End-of-round benchmark: 4K extraction throughput per chip, DEFAULT config.
+"""End-of-round benchmark: 4K extraction throughput per chip, DEFAULT config,
+plus the FULL decode -> detect -> track -> stabilize -> georeference chain on
+a real encoded 4K clip (the BASELINE.json metric scope).
 
-Measures the fused extraction chunk step (pipeline/device_pipeline.py) on
-synthetic 4K frames — letterbox, YOLOv8s forward (bf16 params + activations,
-f32 accumulation), fixed-shape class-agnostic NMS (max_det 1000), the FULL
-default-on stabilization pass (FAST corners + grid descriptors + blockwise
-L2 matching + 1250-hypothesis RANSAC at the default 0.5x downsample /
-2000-feature budget, masked by the frame's own detections), GMC, a BoT-SORT
-tracker step per frame, and the stabilized-box transform — i.e. everything
-the reference runs per frame through model.track() + stabilo
-(SURVEY.md §3.2, reference extract.py:145-197), excluding host video decode
-(no 4K source ships with the repo; the native decoder is benchmarked by its
-tests).
+Headline (compute path): the fused extraction chunk step
+(pipeline/device_pipeline.py) on device-resident synthetic 4K frames —
+letterbox, YOLOv8s forward (bf16 params + activations, f32 accumulation),
+fixed-shape class-agnostic NMS (max_det 1000), the FULL default-on
+stabilization pass (FAST corners + grid descriptors + blockwise L2 matching
++ 1250-hypothesis RANSAC at the default 0.5x downsample / 2000-feature
+budget, masked by the frame's own detections), GMC, a BoT-SORT tracker step
+per frame, and the stabilized-box transform — everything the reference runs
+per frame through model.track() + stabilo (SURVEY.md §3.2, reference
+extract.py:145-197).
 
-The headline metric is the DEFAULT config (stabilize: true). The
-detect+track-only rate (stabilize: false) is printed on stderr for
-comparison. Frames live on device: the benchmark measures the compute path,
-not host->device shipping over the dev tunnel; a per-chunk brightness jitter
-defeats any caching of repeated work.
+End-to-end (BASELINE metric): encodes a 48-frame 4K MPEG-4 clip with the
+first-party encoder, then drives the REAL CLI stages — `extract` (native
+host decode + the fused device pipeline) and `georeference` (RootSIFT
+registration of the reference frame against a synthetic ortho cutout, the
+full coordinate/kinematics/lane chain, 17-col CSV). Per-stage wall times,
+the end-to-end fps, and the registration px-RMSE against the known crop
+offset ride along as extra JSON keys. On this 1-vCPU container the e2e
+number is HOST-DECODE-BOUND (~3.5 fps mpeg4 4K single-core): the device
+pipeline idles waiting for frames; see e2e_stage_s for the split.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline anchors to the 4K capture rate of the reference deployment
-(29.97 fps, DJI Mavic 3): value/29.97 = multiples of realtime per chip.
-The reference publishes no throughput numbers (BASELINE.md); its GPU
-pipeline ran at or below realtime on 4K.
+The one JSON line keeps the driver contract {"metric", "value", "unit",
+"vs_baseline"}; vs_baseline anchors to the 4K capture rate of the reference
+deployment (29.97 fps): value/29.97 = multiples of realtime per chip. The
+reference publishes no throughput numbers (BASELINE.md); its GPU pipeline
+ran at or below realtime on 4K.
 """
 
 from __future__ import annotations
@@ -38,6 +43,11 @@ import numpy as np
 BASELINE_FPS = 30000 / 1001  # 4K capture realtime
 CHUNK = 32
 SRC_H, SRC_W = 2160, 3840
+
+# persistent compilation cache: the fused 4K program costs minutes to build;
+# repeated driver runs (and the e2e stage below) reuse it across processes
+jax.config.update("jax_compilation_cache_dir", "/tmp/geotrax_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 class BenchDetector:
@@ -59,14 +69,15 @@ class BenchDetector:
 
         out_h, out_w, r, top, left = yolov8.letterbox_shape(src_h, src_w, self.imgsz)
         new_h, new_w = round(src_h * r), round(src_w * r)
-        spec, params = self.spec, self.params
+        spec, own_params = self.spec, self.params
         conf, iou, max_det = self.conf, self.iou, self.max_det
 
-        def run(frames_u8, fids=None):
+        def run(frames_u8, fids=None, params=None):
+            p = params if params else own_params
             imgs = jax.vmap(
                 lambda f: yolov8.letterbox(f, out_h, out_w, new_h, new_w, top, left)
             )(frames_u8).astype(jnp.bfloat16)
-            boxes, probs = yolov8.forward(params, imgs, spec)
+            boxes, probs = yolov8.forward(p, imgs, spec)
             det = jax.vmap(
                 lambda b, p: postprocess_detections(
                     b.astype(jnp.float32), p.astype(jnp.float32),
@@ -123,6 +134,161 @@ def run_fps(fx, base_frames, n_chunks: int = 10) -> float:
     return n_chunks * CHUNK / (time.perf_counter() - t0)
 
 
+def _bench_scene(rng):
+    scene = np.kron(
+        rng.integers(30, 220, (SRC_H // 8, SRC_W // 8, 3)),
+        np.ones((8, 8, 1)),
+    ).astype(np.uint8)
+    for _ in range(200):  # vehicle-scale bright/dark boxes
+        y = int(rng.integers(0, SRC_H - 60))
+        x = int(rng.integers(0, SRC_W - 120))
+        scene[y:y + 50, x:x + 100] = rng.integers(0, 255, (3,))
+    return scene
+
+
+def bench_e2e(n_frames: int = 48) -> dict:
+    """Encode a 4K clip, then run the real `extract` and `georeference` CLI
+    stages on it (decode -> detect -> track -> stabilize -> georef).
+    Returns stage wall times, e2e fps, and the registration px-RMSE."""
+    import argparse
+    import logging
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import yaml
+
+    from geotrax_tpu.io.video import VideoReader, VideoWriter
+    from geotrax_tpu.models import yolov8
+    from geotrax_tpu.models.convert import save_npz
+    from geotrax_tpu.pipeline import _extract_impl, _georeference_impl
+    from geotrax_tpu.utils.config_utils import CFG_DIR
+
+    logger = logging.getLogger("bench-e2e")
+    logger.setLevel(logging.ERROR)
+    work = Path(tempfile.mkdtemp(prefix="gtx_bench_"))
+    rng = np.random.default_rng(42)
+    scene = _bench_scene(rng)
+
+    # ---- encode (first-party MPEG-4 encoder)
+    t0 = time.perf_counter()
+    source = work / "U_bench.mp4"
+    writer = VideoWriter(source, BASELINE_FPS, SRC_W, SRC_H, fourcc="mp4v")
+    for i in range(n_frames):
+        f = scene.copy()
+        x = (200 + 14 * i) % (SRC_W - 140)
+        f[1000:1056, x:x + 120] = (235, 70, 40)     # moving "vehicle"
+        f[1400:1448, (3000 - 9 * i) % (SRC_W - 110):][:, :96] = (60, 200, 240)
+        writer.write(f)
+    writer.close()
+    t_encode = time.perf_counter() - t0
+
+    # ---- deterministic checkpoint (fixed seed -> stable HLO for the
+    # persistent compilation cache) + flight log + ortho assets
+    spec = yolov8.ModelSpec(variant="s", nc=4)
+    params = jax.jit(lambda: yolov8.init_params(jax.random.PRNGKey(0), spec))()
+    model_path = work / "bench_model.npz"
+    save_npz(model_path, jax.device_get(params),
+             class_names={0: "car", 1: "bus", 2: "truck", 3: "motorcycle"},
+             variant="s", nc=4)
+
+    import pandas as pd
+
+    pd.DataFrame({
+        "frame": range(n_frames),
+        "timestamp": [
+            f"2022-10-07 17:52:{13 + i // 30:02d}.{(i % 30) * 33:03d}"
+            for i in range(n_frames)
+        ],
+    }).to_csv(source.with_suffix(".csv"), index=False)
+
+    # ortho = 1024^2 center crop of frame 0: registration ground truth is a
+    # pure translation by the crop offset
+    from PIL import Image
+
+    ox, oy = (SRC_W - 1024) // 2, (SRC_H - 1024) // 2
+    ortho_dir = work / "ortho"
+    ortho_dir.mkdir()
+    Image.fromarray(scene[oy:oy + 1024, ox:ox + 1024]).save(ortho_dir / "U.png")
+    (ortho_dir / "U.txt").write_text("126.66 37.39 1e-6 -1e-6\n")
+    seg_dir = work / "seg"
+    seg_dir.mkdir()
+    (seg_dir / "U.csv").write_text(
+        "section,lane,tlx,tly,blx,bly,brx,bry,trx,try\n"
+        "1_2,1,0,0,0,1024,1024,1024,1024,0\n"
+    )
+
+    # bench config: TPU deployment dtype (ultralytics.half -> bf16) and a
+    # feature budget scaled to the 1024^2 cutout (the default 250k budget is
+    # sized for the 15000^2 reference ortho)
+    cfg = yaml.safe_load((CFG_DIR / "default.yaml").read_text())
+    cfg["ultralytics"]["half"] = True
+    cfg["georef"]["matching"]["max_features"] = 20000
+    cfg_path = work / "bench_cfg.yaml"
+    cfg_path.write_text(yaml.dump(cfg))
+
+    # ---- extract (host decode + fused device pipeline)
+    t0 = time.perf_counter()
+    args = argparse.Namespace(
+        source=source, cfg=str(cfg_path), output_folder=None, log_path=None,
+        verbose=False, model=[str(model_path)], class_names=None, conf=None,
+        classes=None, cut_frame_left=None, cut_frame_right=None,
+        interpolate=False, show=None,
+    )
+    _extract_impl.run_extraction(args, logger)
+    t_extract = time.perf_counter() - t0
+
+    # ---- georeference (registration + full coordinate/kinematics chain)
+    t0 = time.perf_counter()
+    geo_args = argparse.Namespace(
+        source=source, cfg=str(cfg_path), output_folder=None, log_path=None,
+        verbose=False, ortho_folder=ortho_dir, geo_source=None, ref_frame=None,
+        no_master=True, master_folder=None, recompute=None,
+        segmentation_folder=seg_dir,
+    )
+    _georeference_impl.run_georeferencing(geo_args, logger)
+    t_georef = time.perf_counter() - t0
+
+    # ---- registration accuracy: recovered H vs the known crop translation
+    h_est = np.loadtxt(work / "results" / "U_bench_geo_transf.txt",
+                       delimiter=",").reshape(3, 3)
+    gx, gy = np.meshgrid(np.linspace(ox + 64, ox + 960, 8),
+                         np.linspace(oy + 64, oy + 960, 8))
+    pts = np.stack([gx.ravel(), gy.ravel(), np.ones(64)], axis=-1)
+    mapped = pts @ h_est.T
+    mapped = mapped[:, :2] / mapped[:, 2:3]
+    truth = pts[:, :2] - np.asarray([ox, oy])
+    rmse = float(np.sqrt(np.mean(np.sum((mapped - truth) ** 2, axis=-1))))
+
+    csv_rows = 0
+    csv_path = work / "results" / "U_bench.csv"
+    if csv_path.exists():
+        csv_rows = max(0, len(csv_path.read_text().splitlines()) - 1)
+
+    # decode-only baseline for the stage split
+    t0 = time.perf_counter()
+    reader = VideoReader(source)
+    for _ in reader:
+        pass
+    reader.close()
+    t_decode = time.perf_counter() - t0
+
+    shutil.rmtree(work, ignore_errors=True)
+    e2e_fps = n_frames / (t_extract + t_georef)
+    return {
+        "e2e_frames": n_frames,
+        "e2e_fps": round(e2e_fps, 2),
+        "e2e_stage_s": {
+            "encode": round(t_encode, 2),
+            "decode_only": round(t_decode, 2),
+            "extract_decode_detect_track_stab": round(t_extract, 2),
+            "georeference": round(t_georef, 2),
+        },
+        "registration_rmse_px": round(rmse, 3),
+        "georef_csv_rows": csv_rows,
+    }
+
+
 def main() -> None:
     # structured scene (8-px blocks + vehicle-like bright rectangles) so the
     # feature/matching/tracker stages run at realistic occupancy instead of
@@ -149,12 +315,23 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    print(json.dumps({
+    try:
+        e2e = bench_e2e()
+        print(f"e2e decode->georef: {e2e}", file=sys.stderr)
+    except Exception as exc:  # the headline metric must always print
+        e2e = {"e2e_error": f"{type(exc).__name__}: {exc}"}
+        print(f"e2e chain failed: {exc}", file=sys.stderr)
+
+    out = {
         "metric": "4k_extract_default_config_frames_per_sec_per_chip",
         "value": round(fps_default, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps_default / BASELINE_FPS, 3),
-    }))
+        "detect_track_only_fps": round(fps_detect, 2),
+        "4k_e2e_decode_to_georef_fps": e2e.get("e2e_fps"),
+    }
+    out.update(e2e)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -32,6 +32,16 @@ class Detector:
             self._init_rtdetr(Path(model_path), detect_cfg, logger)
             return
         self.params, self.spec, self.class_names = load_model(model_path)
+        # cfg ultralytics.half (reference runs fp16 on GPU): bf16 params +
+        # activations on TPU, f32 postprocess — the recommended deployment
+        # dtype (MXU-native; detection parity within NMS score jitter)
+        self.half = bool(detect_cfg.get("half", False))
+        if self.half:
+            self.params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                self.params,
+            )
         self.imgsz = int(detect_cfg.get("imgsz", 1920) or 1920)
         self.conf = float(detect_cfg.get("conf", 0.25) or 0.25)
         self.iou = float(detect_cfg.get("iou", 0.7) or 0.7)
@@ -157,12 +167,17 @@ class Detector:
         conf, iou, max_det = self.conf, self.iou, self.max_det
         class_mask, agnostic = self.class_mask, self.agnostic
 
+        half = self.half
+
         @jax.jit
         def run(frame_u8):
             img = yolov8.letterbox(frame_u8, out_h, out_w, new_h, new_w, top, left)
+            if half:
+                img = img.astype(jnp.bfloat16)
             boxes, probs = yolov8.forward(params, img[None], spec)
             det = postprocess_detections(
-                boxes[0], probs[0], conf, iou, max_det,
+                boxes[0].astype(jnp.float32), probs[0].astype(jnp.float32),
+                conf, iou, max_det,
                 class_mask=class_mask, agnostic=agnostic,
             )
             det["boxes_xywh"] = yolov8.unletterbox_boxes(det["boxes_xywh"], r, top, left)
@@ -183,18 +198,27 @@ class Detector:
         extraction chunk step builds on this)."""
         out_h, out_w, r, top, left = yolov8.letterbox_shape(src_h, src_w, self.imgsz)
         new_h, new_w = round(src_h * r), round(src_w * r)
-        spec, params = self.spec, self.params
+        spec, own_params = self.spec, self.params
         conf, iou, max_det = self.conf, self.iou, self.max_det
         class_mask, agnostic = self.class_mask, self.agnostic
 
-        def run(frames_u8, fids=None):
+        half = self.half
+
+        def run(frames_u8, fids=None, params=None):
+            # params passed as a jit argument by FusedExtractor (keeps the
+            # weights out of the HLO so the compilation cache hits); falls
+            # back to the bound weights for direct use
+            p = params if params else own_params
             imgs = jax.vmap(
                 lambda f: yolov8.letterbox(f, out_h, out_w, new_h, new_w, top, left)
             )(frames_u8)
-            boxes, probs = yolov8.forward(params, imgs, spec)
+            if half:
+                imgs = imgs.astype(jnp.bfloat16)
+            boxes, probs = yolov8.forward(p, imgs, spec)
             det = jax.vmap(
                 lambda b, p: postprocess_detections(
-                    b, p, conf, iou, max_det, class_mask=class_mask, agnostic=agnostic
+                    b.astype(jnp.float32), p.astype(jnp.float32),
+                    conf, iou, max_det, class_mask=class_mask, agnostic=agnostic
                 )
             )(boxes, probs)
             det["boxes_xywh"] = yolov8.unletterbox_boxes(det["boxes_xywh"], r, top, left)
@@ -275,7 +299,7 @@ class OracleDetector:
             tv[f] = np.asarray(det["valid"])
         tb, ts, tc, tv = map(jnp.asarray, (tb, ts, tc, tv))
 
-        def run(frames_u8, fids=None):
+        def run(frames_u8, fids=None, params=None):
             c = frames_u8.shape[0]
             if fids is None:
                 idx = jnp.arange(c)

@@ -148,6 +148,11 @@ class FusedExtractor:
         self.with_reid = with_reid
         self.stab_on = stabilo_cfg is not None
         self._detect = detector.batch_trace(src_h, src_w)
+        # Detector params ride through the jit boundary as an ARGUMENT, not
+        # a closure: closed-over device arrays become inline HLO constants,
+        # which bloats the program and defeats the persistent compilation
+        # cache (each process would re-compile the whole fused program).
+        self._params = getattr(detector, "params", None) or {}
 
         if self.stab_on:
             proto = Stabilizer(**stabilo_cfg)
@@ -208,10 +213,10 @@ class FusedExtractor:
         inv_scale = jnp.asarray(np.diag([1.0 / s, 1.0 / s, 1.0]), jnp.float32)
         return inv_scale @ h_ds @ scale
 
-    def _chunk_impl(self, frames_u8, state, ref: Optional[RefFeatures],
+    def _chunk_impl(self, params, frames_u8, state, ref: Optional[RefFeatures],
                     gmc_carry, h_prev, key, fids, n_valid, *, first: bool):
         c = frames_u8.shape[0]
-        det = self._detect(frames_u8, fids)
+        det = self._detect(frames_u8, fids, params=params)
         det_boxes, det_valid = det["boxes_xywh"], det["valid"]
         det_emb = None
         if self.with_reid:
@@ -363,7 +368,7 @@ class FusedExtractor:
                 jnp.zeros((GMC_FEATURES,), bool),
             )
         self.state, out, self._ref, self._gmc_carry, self._h_prev, self._key = step(
-            frames, self.state, self._ref, self._gmc_carry, self._h_prev,
-            self._key, fids, jnp.asarray(n_valid, jnp.int32),
+            self._params, frames, self.state, self._ref, self._gmc_carry,
+            self._h_prev, self._key, fids, jnp.asarray(n_valid, jnp.int32),
         )
         return out

@@ -23,7 +23,7 @@ class NullDetector:
     is_rtdetr = False
 
     def batch_trace(self, src_h, src_w):
-        def run(frames_u8, fids=None):
+        def run(frames_u8, fids=None, params=None):
             c = frames_u8.shape[0]
             return {
                 "boxes_xywh": jnp.zeros((c, MAX_DET, 4)),
@@ -177,7 +177,7 @@ class TwoBoxDetector:
     is_rtdetr = False
 
     def batch_trace(self, src_h, src_w):
-        def run(frames_u8, fids=None):
+        def run(frames_u8, fids=None, params=None):
             c = frames_u8.shape[0]
             b = jnp.zeros((c, MAX_DET, 4))
             b = b.at[:, 0].set(jnp.asarray([40.0, 48.0, 24, 24]))
