@@ -47,6 +47,11 @@ class Detector:
         self.iou = float(detect_cfg.get("iou", 0.7) or 0.7)
         self.max_det = int(detect_cfg.get("max_det", 1000) or 1000)
         self.agnostic = bool(detect_cfg.get("agnostic_nms", True))
+        # spatial tiling (cfg ultralytics.tiles / extract --tiles): T vertical
+        # tiles each letterboxed to imgsz see the scene at ~T/2 the default
+        # scale — the small-object accuracy lever (parallel/tiling.py)
+        self.tiles = int(detect_cfg.get("tiles", 1) or 1)
+        self.tile_overlap = int(detect_cfg.get("tile_overlap", 128) or 128)
         classes = detect_cfg.get("classes")
         self.class_mask = None
         if classes is not None:
@@ -160,6 +165,16 @@ class Detector:
         key = (src_h, src_w)
         if key in self._fn:
             return self._fn[key], self._geom[key]
+        if self.tiles > 1:
+            batched = jax.jit(self.batch_trace(src_h, src_w))
+
+            def run_single(frame_u8):
+                det = batched(frame_u8[None])
+                return {k: v[0] for k, v in det.items()}
+
+            self._fn[key] = run_single
+            self._geom[key] = None
+            return run_single, None
         out_h, out_w, r, top, left = yolov8.letterbox_shape(src_h, src_w, self.imgsz)
         new_h, new_w = round(src_h * r), round(src_w * r)
         spec = self.spec
@@ -196,6 +211,21 @@ class Detector:
         """The traceable (un-jitted) batched detection body for a source
         resolution — composable inside larger jitted programs (the fused
         extraction chunk step builds on this)."""
+        if self.tiles > 1:
+            from geotrax_tpu.parallel.tiling import tiled_batch_trace
+
+            tiled = tiled_batch_trace(
+                self.spec, self.tiles, src_h, src_w, imgsz=self.imgsz,
+                conf=self.conf, iou=self.iou, max_det=self.max_det,
+                overlap=self.tile_overlap, class_mask=self.class_mask,
+                agnostic=self.agnostic, half=self.half,
+            )
+            own = self.params
+
+            def run_tiled(frames_u8, fids=None, params=None):
+                return tiled(frames_u8, fids, params=params if params else own)
+
+            return run_tiled
         out_h, out_w, r, top, left = yolov8.letterbox_shape(src_h, src_w, self.imgsz)
         new_h, new_w = round(src_h * r), round(src_w * r)
         spec, own_params = self.spec, self.params

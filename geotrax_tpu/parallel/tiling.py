@@ -101,6 +101,80 @@ def make_tiled_detector(params, spec, n_tiles: int, src_h: int, src_w: int,
     return jax.jit(run)
 
 
+def tiled_batch_trace(spec, n_tiles: int, src_h: int, src_w: int,
+                      imgsz: int = 1920, conf: float = 0.25, iou: float = 0.7,
+                      max_det: int = 1000, overlap: int = 128,
+                      class_mask=None, agnostic: bool = True,
+                      half: bool = False):
+    """Traceable chunk-batched tiled detection for the fused extraction path
+    (`Detector.batch_trace` dispatches here when cfg ultralytics.tiles > 1).
+
+    Returns ``run(frames_u8 (C,H,W,3), fids=None, params=None)`` -> the same
+    fixed-slot detection dict the whole-frame path produces, so the fused
+    chunk step (tracker, stabilization masks, ReID) consumes merged tile
+    detections unchanged. All C*T tiles run through ONE detector forward —
+    the tile axis rides the batch dimension, which on a single chip maximizes
+    MXU occupancy and under GSPMD is the axis a mesh shards
+    (dryrun_multichip / make_tiled_detector).
+    """
+    geom = tile_geometry(src_w, n_tiles, overlap)
+    tw = geom[0][1]
+    x_offsets = jnp.asarray([g[0] for g in geom], jnp.float32)
+    out_h, out_w, r, top, left = yolov8.letterbox_shape(src_h, tw, imgsz)
+    new_h, new_w = round(src_h * r), round(tw * r)
+    per_tile = max_det // 2  # same per-tile budget as make_tiled_detector
+
+    def run(frames_u8, fids=None, params=None):
+        c = frames_u8.shape[0]
+        tiles = jnp.stack([
+            jax.lax.dynamic_slice(
+                frames_u8, (0, 0, g[0], 0), (c, src_h, tw, 3))
+            for g in geom
+        ])  # (T, C, H, tw, 3)
+        flat = tiles.reshape((n_tiles * c, src_h, tw, 3))
+        imgs = jax.vmap(
+            lambda f: yolov8.letterbox(f, out_h, out_w, new_h, new_w, top, left)
+        )(flat)
+        if half:
+            imgs = imgs.astype(jnp.bfloat16)
+        boxes, probs = yolov8.forward(params, imgs, spec)
+        # global-coordinate math (x offsets up to src_w) quantizes to ~16 px
+        # in bf16 — cast up before postprocess/merge (ADVICE r2)
+        boxes = boxes.astype(jnp.float32)
+        probs = probs.astype(jnp.float32)
+        det = jax.vmap(
+            lambda b, p: postprocess_detections(
+                b, p, conf, iou, per_tile,
+                class_mask=class_mask, agnostic=agnostic)
+        )(boxes, probs)
+        tile_boxes = yolov8.unletterbox_boxes(det["boxes_xywh"], r, top, left)
+        tile_boxes = tile_boxes.reshape((n_tiles, c, per_tile, 4))
+        tile_boxes = tile_boxes.at[..., 0].add(x_offsets[:, None, None])
+
+        # per-frame global merge: (T, C, K) -> (C, T*K), one fixed-shape NMS
+        # de-dupes the overlap-region double detections
+        all_boxes = jnp.swapaxes(tile_boxes, 0, 1).reshape((c, -1, 4))
+        scores = jnp.where(det["valid"], det["scores"], 0.0)
+        all_scores = jnp.swapaxes(
+            scores.reshape((n_tiles, c, per_tile)), 0, 1).reshape((c, -1))
+        all_classes = jnp.swapaxes(
+            det["classes"].reshape((n_tiles, c, per_tile)), 0, 1).reshape((c, -1))
+
+        def merge(b, s, cl):
+            keep, valid = nms(xywh_to_xyxy(b), s, iou, max_det,
+                              class_ids=cl, agnostic=agnostic)
+            return {
+                "boxes_xywh": jnp.where(valid[:, None], b[keep], 0.0),
+                "scores": jnp.where(valid, s[keep], 0.0),
+                "classes": jnp.where(valid, cl[keep], -1),
+                "valid": valid,
+            }
+
+        return jax.vmap(merge)(all_boxes, all_scores, all_classes)
+
+    return run
+
+
 def merge_tile_detections(tile_dets: dict, x_offsets, iou: float,
                           max_det: int) -> dict:
     """Standalone merge used by tests and custom tilers: offset + global NMS

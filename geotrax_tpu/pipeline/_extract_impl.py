@@ -465,7 +465,8 @@ def save_results(tracks, transforms, args, config, out_cfg, stats, logger) -> No
             "stabilo": config.get("stabilo"),
             "detection": {
                 k: config["ultralytics"].get(k)
-                for k in ("imgsz", "conf", "iou", "max_det", "classes", "agnostic_nms")
+                for k in ("imgsz", "conf", "iou", "max_det", "classes",
+                          "agnostic_nms", "tiles")
             },
         },
         "args": convert_to_serializable(args),

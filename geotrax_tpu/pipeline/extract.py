@@ -39,6 +39,9 @@ def add_processing_args(group) -> None:
                        help="Skip the first N frames (cfg -> processing -> cut_frame_left).")
     group.add_argument("--cut-frame-right", "-cfr", type=int, default=None,
                        help="Stop after this frame (cfg -> processing -> cut_frame_right).")
+    group.add_argument("--tiles", "-t", type=int, default=None,
+                       help="Detect over N overlapping vertical tiles merged by a global NMS "
+                            "(small-object accuracy at 4K; cfg -> ultralytics -> tiles).")
     group.add_argument("--interpolate", action=argparse.BooleanOptionalAction, default=None,
                        help="Fill per-track frame gaps by linear interpolation (adds is_interpolated column).")
     group.add_argument("--profile", type=str, default=None, metavar="DIR",

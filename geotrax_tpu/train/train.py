@@ -149,6 +149,11 @@ def train(args, logger=None) -> dict:
     best_map = -1.0
     bad_epochs = 0
     history = []
+    # persisted metrics (Comet ML analog, reference train/README.md:184-201):
+    # results.csv + metrics.jsonl + TensorBoard events, flushed per epoch
+    from geotrax_tpu.train.runlog import RunLogger
+
+    runlog = RunLogger(out_dir, enable_tensorboard=not getattr(args, "no_tb", False))
 
     with mesh:
         params = shard_params(params, mesh)
@@ -163,7 +168,12 @@ def train(args, logger=None) -> dict:
             mean_loss = float(np.mean(losses)) if losses else float("nan")
 
             val = evaluate(params, spec, val_loader)
+            lr_now = float(schedule(min((epoch + 1) * steps_per_epoch, total_steps)))
             history.append({"epoch": epoch, "loss": mean_loss, **val})
+            runlog.log_epoch(epoch, {
+                "loss": mean_loss, **val, "lr": lr_now,
+                "epoch_s": round(time.time() - t0, 2),
+            })
             logger.info(
                 f"epoch {epoch + 1}/{epochs}: loss {mean_loss:.4f} "
                 f"mAP50 {val['map50']:.4f} mAP50-95 {val['map50_95']:.4f} "
@@ -186,6 +196,7 @@ def train(args, logger=None) -> dict:
                     logger.notice(f"Early stop after {patience} stagnant epochs.")
                     break
 
+    runlog.close()
     (out_dir / "history.json").write_text(json.dumps(history, indent=2))
     logger.notice(f"Training done: best mAP@50 {best_map:.4f}; checkpoints in '{out_dir}'.")
     return {"best_map50": best_map, "history": history}
@@ -210,6 +221,8 @@ def parse_cli_args():
                              "(each worker launched via train/launch.sh runs the same "
                              "command; the TPU runtime supplies coordinator/topology)")
     parser.add_argument("--out", type=Path, default=Path("runs/train"))
+    parser.add_argument("--no-tb", action="store_true", dest="no_tb",
+                        help="Disable TensorBoard event files (results.csv/metrics.jsonl always written)")
     parser.add_argument("--verbose", "-v", action="store_true")
     return parser.parse_args()
 

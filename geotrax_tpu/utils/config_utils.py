@@ -174,7 +174,7 @@ def load_config_all(args: argparse.Namespace, logger: logging.Logger, needs_mode
     kwargs_main["args"] = args
 
     # Detection keys that a CLI flag may override at run time.
-    for key in ("classes", "conf", "show"):
+    for key in ("classes", "conf", "show", "tiles"):
         value = getattr(args, key, None)
         if value is not None:
             kwargs_detect[key] = value

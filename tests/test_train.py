@@ -116,3 +116,31 @@ def test_short_training_improves(synth_dataset, tmp_path):
     assert (tmp_path / "run" / "last.npz").exists()
     assert (tmp_path / "run" / "history.json").exists()
     json.loads((tmp_path / "run" / "history.json").read_text())
+    # persisted per-epoch metrics (Comet analog): incremental CSV + JSONL
+    csv_lines = (tmp_path / "run" / "results.csv").read_text().splitlines()
+    assert len(csv_lines) == len(history) + 1  # header + one row per epoch
+    assert csv_lines[0].startswith("epoch,loss,")
+    jsonl = [json.loads(l) for l in
+             (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()]
+    assert len(jsonl) == len(history)
+    assert {"loss", "map50", "lr", "epoch_s"} <= set(jsonl[0])
+
+
+def test_runlogger_incremental_and_append(tmp_path):
+    """Each log_epoch flushes to disk (history survives a kill); re-opening
+    the same dir appends instead of clobbering (resume semantics)."""
+    from geotrax_tpu.train.runlog import RunLogger
+
+    rl = RunLogger(tmp_path / "run", enable_tensorboard=False)
+    rl.log_epoch(0, {"loss": 2.0, "map50": 0.1})
+    # mid-run state is already on disk
+    assert len((tmp_path / "run" / "metrics.jsonl").read_text().splitlines()) == 1
+    rl.log_epoch(1, {"loss": 1.5, "map50": 0.2})
+    rl.close()
+
+    rl2 = RunLogger(tmp_path / "run", enable_tensorboard=False)
+    rl2.log_epoch(2, {"loss": 1.2, "map50": 0.3})
+    rl2.close()
+    rows = (tmp_path / "run" / "results.csv").read_text().splitlines()
+    assert len(rows) == 4 and rows[0] == "epoch,loss,map50"
+    assert rows[3].startswith("2,")
