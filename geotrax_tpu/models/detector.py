@@ -256,6 +256,51 @@ class Detector:
 
         return run
 
+    def resize_geometry(self, src_h: int, src_w: int):
+        """(new_h, new_w, r, top, left, out_h, out_w) of the letterbox resize
+        for a source resolution, or None when the pre-resized fast path is
+        unsupported (RT-DETR, tiling)."""
+        if self.is_rtdetr or self.tiles > 1:
+            return None
+        out_h, out_w, r, top, left = yolov8.letterbox_shape(src_h, src_w, self.imgsz)
+        return round(src_h * r), round(src_w * r), r, top, left, out_h, out_w
+
+    def batch_trace_resized(self, src_h: int, src_w: int):
+        """Like batch_trace but consuming ALREADY-RESIZED (C,new_h,new_w,3)
+        uint8 frames. The caller (FusedExtractor) runs the cv2-bit-exact
+        letterbox resize itself so ONE pass over the 4K frame feeds both
+        detection and the stabilization gray — the full-resolution HBM read
+        is the dominant preprocessing cost on TPU (one read instead of two).
+        Detection results are identical to batch_trace: the resize here is
+        the same fixed-point op, only hoisted."""
+        geom = self.resize_geometry(src_h, src_w)
+        if geom is None:
+            return None
+        new_h, new_w, r, top, left, out_h, out_w = geom
+        spec, own_params = self.spec, self.params
+        conf, iou, max_det = self.conf, self.iou, self.max_det
+        class_mask, agnostic = self.class_mask, self.agnostic
+        half = self.half
+
+        def run(resized_u8, fids=None, params=None):
+            p = params if params else own_params
+            imgs = jax.vmap(
+                lambda f: yolov8.letterbox_pad(f, out_h, out_w, top, left)
+            )(resized_u8)
+            if half:
+                imgs = imgs.astype(jnp.bfloat16)
+            boxes, probs = yolov8.forward(p, imgs, spec)
+            det = jax.vmap(
+                lambda b, p: postprocess_detections(
+                    b.astype(jnp.float32), p.astype(jnp.float32),
+                    conf, iou, max_det, class_mask=class_mask, agnostic=agnostic
+                )
+            )(boxes, probs)
+            det["boxes_xywh"] = yolov8.unletterbox_boxes(det["boxes_xywh"], r, top, left)
+            return det
+
+        return run
+
     def _batch_pipeline(self, src_h: int, src_w: int, batch: int):
         key = (src_h, src_w, batch)
         if key in self._fn:

@@ -406,6 +406,18 @@ def letterbox(image_u8, out_h: int, out_w: int, new_h: int, new_w: int,
     return canvas / 255.0
 
 
+@partial(jax.jit, static_argnames=("out_h", "out_w", "top", "left"))
+def letterbox_pad(resized_u8, out_h: int, out_w: int, top: int, left: int):
+    """Pad an ALREADY-RESIZED (new_h,new_w,3) uint8 image onto the gray
+    letterbox canvas -> (out_h,out_w,3) float32 in [0,1]. The resize half of
+    `letterbox`, hoisted to the caller (see Detector.batch_trace_resized)."""
+    canvas = jnp.full((out_h, out_w, 3), 114.0, jnp.float32)
+    canvas = jax.lax.dynamic_update_slice(
+        canvas, resized_u8.astype(jnp.float32), (top, left, 0)
+    )
+    return canvas / 255.0
+
+
 def unletterbox_boxes(boxes_xywh, scale: float, top: int, left: int):
     """Map letterboxed-space boxes back to original pixel coordinates."""
     cx = (boxes_xywh[..., 0] - left) / scale

@@ -73,7 +73,11 @@ def nms(
     # Compact kept indices into max_det slots, preserving score order.
     kept_rank = jnp.cumsum(kept) - 1
     sort_key = jnp.where(kept, kept_rank, n + positions)
-    compact = jnp.argsort(sort_key)[:max_det]
+    compact = jnp.argsort(sort_key)[: min(max_det, n)]
+    if n < max_det:
+        # fewer candidates than output slots (small imgsz): pad with index 0,
+        # masked invalid below since sum(kept) <= n
+        compact = jnp.pad(compact, (0, max_det - n))
     valid = jnp.arange(max_det) < jnp.sum(kept)
     keep_indices = jnp.where(valid, order[compact], 0)
     return keep_indices, valid

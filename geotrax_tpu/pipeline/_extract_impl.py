@@ -87,6 +87,13 @@ def track_video(args, config: dict, logger) -> tuple:
     tracker_cfg, tracker_state, tracker_step = make_tracker(
         tracker_name, tracker_params, max_tracks=max(256, min(max_det, 1024))
     )
+    # Learned ReID head (cfg tracker.<name>.model: path.npz) — None keeps the
+    # weight-free projection embedding (reference cfg/default.yaml:377-379).
+    reid_params = None
+    if bool(getattr(tracker_cfg, "with_reid", False)):
+        from geotrax_tpu.track.reid import resolve_head
+
+        reid_params = resolve_head(tracker_params, logger)
 
     cut_left = int(args.cut_frame_left or 0)
     cut_right = args.cut_frame_right
@@ -103,7 +110,7 @@ def track_video(args, config: dict, logger) -> tuple:
     if fused_ok:
         return _track_video_fused(
             args, config, logger, reader, detector, tracker_cfg, tracker_state,
-            tracker_step, stabilize_on, cut_left,
+            tracker_step, stabilize_on, cut_left, reid_params=reid_params,
         )
 
     stabilizer = None
@@ -191,7 +198,8 @@ def track_video(args, config: dict, logger) -> tuple:
                 from geotrax_tpu.pipeline.device_pipeline import embed_boxes
 
                 det_emb = embed_boxes(
-                    jnp.asarray(frame)[None], jnp.asarray(det["boxes_xywh"])[None]
+                    jnp.asarray(frame)[None], jnp.asarray(det["boxes_xywh"])[None],
+                    head_params=reid_params,
                 )[0]
 
             # ---- tracker step (frame ids are 1-based inside the tracker)
@@ -255,7 +263,7 @@ def track_video(args, config: dict, logger) -> tuple:
 
 def _track_video_fused(args, config, logger, reader, detector, tracker_cfg,
                        tracker_state, tracker_step, stabilize_on: bool,
-                       cut_left: int) -> tuple:
+                       cut_left: int, reid_params=None) -> tuple:
     """Host loop for the fused device pipeline: buffer a chunk of frames,
     one device dispatch, one fetch, emit rows (formats identical to the
     sequential path)."""
@@ -273,6 +281,7 @@ def _track_video_fused(args, config, logger, reader, detector, tracker_cfg,
         use_gmc=bool(getattr(tracker_cfg, "use_gmc", False)),
         chunk=chunk,
         with_reid=bool(getattr(tracker_cfg, "with_reid", False)),
+        reid_params=reid_params,
     )
     min_match_warning = 4
 

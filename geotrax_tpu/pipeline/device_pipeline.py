@@ -53,26 +53,38 @@ def _emb_projection(din: int, dout: int):
 
 
 def embed_boxes(frames_u8: jnp.ndarray, boxes_xywh: jnp.ndarray,
-                emb_dim: int = 64) -> jnp.ndarray:
+                emb_dim: int = 64, pooled=None, head_params=None) -> jnp.ndarray:
     """(C,H,W,3) uint8 + (C,M,4) full-res cxcywh -> (C,M,emb_dim) L2-normed
     appearance embeddings: a 32x32 RGB patch at each box center on the
     0.5x-pooled image, 4x4-averaged per channel, projected through a fixed
     orthonormal matrix. Pure texture+color signature — enough for the
     appearance-vs-geometry disambiguation the ReID cost needs (tests pin the
-    crossing-targets behavior), with no external weights."""
+    crossing-targets behavior), with no external weights. ``pooled`` lets the
+    caller supply an existing (C,H/2,W/2,3) half-resolution image (the
+    shared-resize fast path) so the 4K frame isn't re-read. ``head_params``
+    (track/reid.py, loaded via cfg tracker.<name>.model) switches the
+    projection for the learned conv head on the same patches."""
     from geotrax_tpu.ops.features import patches32
 
     c, h, w = frames_u8.shape[:3]
     h2, w2 = h // 2, w // 2
-    f = frames_u8.astype(jnp.float32)
-    pooled = 0.25 * (f[:, 0::2, 0::2] + f[:, 0::2, 1::2]
-                     + f[:, 1::2, 0::2] + f[:, 1::2, 1::2])  # (C,H2,W2,3)
+    if pooled is None:
+        f = frames_u8.astype(jnp.float32)
+        pooled = 0.25 * (f[:, 0::2, 0::2] + f[:, 0::2, 1::2]
+                         + f[:, 1::2, 0::2] + f[:, 1::2, 1::2])  # (C,H2,W2,3)
+    else:
+        pooled = pooled.astype(jnp.float32)
     x0 = jnp.clip((boxes_xywh[..., 0] * 0.5).astype(jnp.int32) - 16, 0, w2 - 32)
     y0 = jnp.clip((boxes_xywh[..., 1] * 0.5).astype(jnp.int32) - 16, 0, h2 - 32)
     chans = [
         jax.vmap(patches32)(pooled[..., ch], x0, y0)  # (C,M,32,32)
         for ch in range(3)
     ]
+    if head_params is not None:
+        from geotrax_tpu.track import reid
+
+        patches = jnp.stack(chans, axis=-1)  # (C,M,32,32,3)
+        return jax.vmap(lambda p: reid.embed_patches(head_params, p))(patches)
     feats = []
     for p in chans:
         cm = p.shape[:2]
@@ -136,7 +148,8 @@ class FusedExtractor:
 
     def __init__(self, detector, stabilo_cfg: Optional[dict], tracker_step,
                  tracker_state, src_h: int, src_w: int, use_gmc: bool,
-                 chunk: int = 16, rng_seed: int = 0, with_reid: bool = False):
+                 chunk: int = 16, rng_seed: int = 0, with_reid: bool = False,
+                 reid_params: Optional[dict] = None):
         from geotrax_tpu.stabilize import Stabilizer
 
         self.detector = detector
@@ -146,8 +159,13 @@ class FusedExtractor:
         self.state = tracker_state
         self.use_gmc = use_gmc
         self.with_reid = with_reid
+        # learned ReID head weights (track/reid.py) — tiny (~25k params),
+        # closed over rather than threaded as a jit argument
+        self.reid_params = reid_params
         self.stab_on = stabilo_cfg is not None
         self._detect = detector.batch_trace(src_h, src_w)
+        self._detect_resized = None
+        self._resize_geom = None
         # Detector params ride through the jit boundary as an ARGUMENT, not
         # a closure: closed-over device arrays become inline HLO constants,
         # which bloats the program and defeats the persistent compilation
@@ -159,6 +177,28 @@ class FusedExtractor:
             if proto.n_levels != 1:
                 raise ValueError("FusedExtractor supports the single-level (orb-class) path")
             self.proto = proto
+            # Shared-resize fast path: when the stabilizer's downsample ratio
+            # equals the letterbox scale (the default 4K@imgsz-1920 config:
+            # both 0.5) and no CLAHE intervenes, ONE cv2-bit-exact resize of
+            # the raw frame feeds both the detector letterbox and the
+            # stabilization gray. The full-resolution HBM read is the
+            # dominant preprocessing cost (0.66 + 0.63 ms/frame measured for
+            # the two separate 4K passes); sharing removes one of them.
+            # Detection output is bit-identical (same resize, hoisted); the
+            # gray becomes luma-of-resized-u8 instead of pooled-luma-of-f32 —
+            # which matches the reference stabilo (cv2 gray of the u8
+            # downsampled frame) more closely than the previous order.
+            if not proto.clahe and hasattr(detector, "batch_trace_resized"):
+                geom = detector.resize_geometry(src_h, src_w)
+                if geom is not None:
+                    new_h, new_w, r = geom[0], geom[1], geom[2]
+                    if (
+                        abs(r - proto.downsample_ratio) < 1e-12
+                        and new_h == round(src_h * proto.downsample_ratio)
+                        and new_w == round(src_w * proto.downsample_ratio)
+                    ):
+                        self._detect_resized = detector.batch_trace_resized(src_h, src_w)
+                        self._resize_geom = (new_h, new_w)
         else:
             self.proto = None
 
@@ -216,11 +256,24 @@ class FusedExtractor:
     def _chunk_impl(self, params, frames_u8, state, ref: Optional[RefFeatures],
                     gmc_carry, h_prev, key, fids, n_valid, *, first: bool):
         c = frames_u8.shape[0]
-        det = self._detect(frames_u8, fids, params=params)
+        resized = None
+        if self._detect_resized is not None:
+            from geotrax_tpu.ops.resize import resize_u8_linear
+
+            nh, nw = self._resize_geom
+            resized = jax.vmap(lambda f: resize_u8_linear(f, nh, nw))(frames_u8)
+            det = self._detect_resized(resized, fids, params=params)
+        else:
+            det = self._detect(frames_u8, fids, params=params)
         det_boxes, det_valid = det["boxes_xywh"], det["valid"]
         det_emb = None
         if self.with_reid:
-            det_emb = embed_boxes(frames_u8, det_boxes)
+            half_geom = (frames_u8.shape[1] // 2, frames_u8.shape[2] // 2)
+            det_emb = embed_boxes(
+                frames_u8, det_boxes,
+                pooled=resized if self._resize_geom == half_geom else None,
+                head_params=self.reid_params,
+            )
         eye = jnp.eye(3)
 
         keys = jax.random.split(key, c + 1)
@@ -232,7 +285,10 @@ class FusedExtractor:
         gmc = None
 
         if self.stab_on:
-            grays = jax.vmap(self._gray)(frames_u8)
+            if resized is not None:
+                grays = jax.vmap(features.rgb_to_gray)(resized)
+            else:
+                grays = jax.vmap(self._gray)(frames_u8)
             xy, desc, val = jax.vmap(
                 lambda g, b, v: self._feats(g, b, v, self.proto.max_features)
             )(grays, det_boxes, det_valid)

@@ -210,3 +210,35 @@ def test_fused_pipeline_with_reid_runs_and_embeds():
     assert ids_last == [1, 2]
     emb = np.asarray(fx.state.emb[:2])
     assert np.abs(np.linalg.norm(emb, axis=1) - 1.0).max() < 1e-4  # live EMA embeddings
+
+
+def test_batch_trace_resized_bit_equal(tmp_path):
+    """The shared-resize fast path (one full-res read feeding detection AND
+    stabilization gray) must produce BIT-IDENTICAL detections to the normal
+    batch_trace: the resize is the same cv2-bit-exact fixed-point op, only
+    hoisted out of the detector."""
+    import jax
+
+    from geotrax_tpu.models import yolov8
+    from geotrax_tpu.models.convert import save_npz
+    from geotrax_tpu.models.detector import Detector
+    from geotrax_tpu.ops.resize import resize_u8_linear
+
+    spec = yolov8.ModelSpec(variant="n", nc=4)
+    save_npz(tmp_path / "tiny.npz",
+             jax.device_get(yolov8.init_params(jax.random.PRNGKey(0), spec)),
+             class_names={0: "car"}, variant="n", nc=4)
+    det = Detector(tmp_path / "tiny.npz",
+                   {"imgsz": 128, "conf": 0.0, "max_det": 16, "agnostic_nms": True})
+    src_h, src_w = 128, 256  # letterbox ratio 0.5 (the shared-path regime)
+    geom = det.resize_geometry(src_h, src_w)
+    assert geom is not None and geom[2] == 0.5
+
+    rng = np.random.default_rng(5)
+    frames = jnp.asarray(rng.integers(0, 255, (2, src_h, src_w, 3), np.uint8))
+    normal = jax.jit(det.batch_trace(src_h, src_w))(frames)
+    nh, nw = geom[0], geom[1]
+    resized = jax.vmap(lambda f: resize_u8_linear(f, nh, nw))(frames)
+    shared = jax.jit(det.batch_trace_resized(src_h, src_w))(resized)
+    for k in ("boxes_xywh", "scores", "classes", "valid"):
+        np.testing.assert_array_equal(np.asarray(normal[k]), np.asarray(shared[k]))
