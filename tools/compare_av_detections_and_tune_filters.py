@@ -1,17 +1,49 @@
-"""Compare pipeline trajectories against probe-vehicle ground truth and tune
-the kinematics smoothing filter.
+"""Compare pipeline trajectories against RTK probe-vehicle ground truth and
+tune the kinematics smoothing filter.
 
 Capability parity with reference tools/compare_av_detections_and_tune_filters.py
-(the RTK-GNSS validation harness, SURVEY.md §2.7): given a georeferenced
-pipeline CSV and a ground-truth probe log (frame, local x/y [, speed_kmh]),
-(1) match the probe to the pipeline vehicle with the lowest mean position
-error, (2) report position/speed RMSE, and (3) sweep the smoothing filter
-settings (gaussian/savgol x kernel sizes) reporting the speed RMSE per
-configuration so cfg georef.filtering can be tuned.
+(the RTK-GNSS validation harness, SURVEY.md §2.7; reference functions
+get_on_board_av_data / compute_errors_per_video / tune_smoothing_parameters).
+Two input modes:
+
+DATASET mode (positional arg is a directory):
+  <data>/av_trajectories/sec_nsec_lon_lat_*.txt   RTK fixes (sec nsec lon lat)
+  <data>/av_trajectories/sec_nsec_horSpd_*.txt    RTK speeds (sec nsec m/s)
+  <data>/<results>/<video>.csv                    georeferenced pipeline CSVs
+  --probe-map map.yaml                            {video: {id, start, end}}
+  The probe map replaces the reference's HARDCODED video->AV-id and
+  video->timestamp tables (reference :90-125) with a data-driven file, so
+  the harness works on any probe campaign, not only Songdo 2022-10-07.
+
+SIMPLE mode (positional arg is a single pipeline CSV):
+  --probe probe.csv with columns frame,x,y[,speed_kmh]; the probe is
+  auto-matched to the pipeline vehicle with the lowest mean position error.
+
+Shared analysis (both modes):
+- Window refinement: the probe log is clipped to the exact pass through the
+  camera's field of view by closest-point matching against the extracted
+  trajectory's first/last positions (reference find_start_end_times).
+- Positional error: perpendicular distance from each (moving) probe fix to
+  the segment through the two nearest extracted points; probe fixes slower
+  than --stop-threshold km/h are excluded (reference AV_SPEED_THRESHOLD).
+- Speed error: probe speed minus the inverse-distance-weighted
+  interpolation of the two nearest extracted speeds.
+- Aggregation per video AND per intersection (first letter of the video
+  stem), with trajectory length/duration; --save writes the LaTeX rows the
+  paper tables use plus PDF plots (trajectories, error histograms, speed /
+  acceleration traces, sweep curves).
+- --tune sweeps the smoothing parameter (gaussian sigma 1..25 step 0.5,
+  savgol window 30..80 step 3 — the reference's documented grids, override
+  with --grid), recomputing speeds from raw Local_X/Y at --fps, and reports
+  the best setting per intersection under BOTH criteria the reference uses
+  (lowest mean |speed error|; lowest speed-error std) plus the plain and
+  length-weighted averages across intersections.
 
 Usage:
-  python tools/compare_av_detections_and_tune_filters.py PIPELINE.csv PROBE.csv \
-      [--fps 29.97] [--kernels 6 10 14 20]
+  python tools/compare_av_detections_and_tune_filters.py data/ \
+      --probe-map probes.yaml --tune --filter gaussian --save
+  python tools/compare_av_detections_and_tune_filters.py run_geo.csv \
+      --probe probe.csv --tune
 """
 
 from __future__ import annotations
@@ -29,68 +61,411 @@ from geotrax_tpu.pipeline._georeference_impl import (  # noqa: E402
     compute_speed,
 )
 
+DEFAULT_FPS = 30000 / 1001
+STOP_THRESHOLD_KMH = 1.0  # probe fixes slower than this are stationary noise
 
-def match_probe(pipeline: pd.DataFrame, probe: pd.DataFrame):
-    """Vehicle_ID with the lowest mean distance to the probe positions."""
-    merged_best, best_id, best_err = None, None, np.inf
+
+# ---------------------------------------------------------------------------
+# Probe (RTK) ingestion
+# ---------------------------------------------------------------------------
+
+def load_rtk_logs(folder: Path, local_crs: str) -> pd.DataFrame:
+    """Stanford-format RTK logs -> DataFrame[Timestamp, Local_X, Local_Y,
+    speed_kmh]. Files: sec_nsec_lon_lat_*.txt + sec_nsec_horSpd_*.txt
+    (reference get_on_board_av_data)."""
+    from geotrax_tpu.ops.tmerc import geo2local
+
+    pos_files = sorted(folder.glob("sec_nsec_lon_lat_*.txt"))
+    spd_files = sorted(folder.glob("sec_nsec_horSpd_*.txt"))
+    if not pos_files:
+        raise SystemExit(f"no sec_nsec_lon_lat_*.txt under {folder}")
+    pos = np.vstack([np.loadtxt(p, ndmin=2) for p in pos_files])
+    t = pos[:, 0] + pos[:, 1] * 1e-9
+    x, y = geo2local(pos[:, 3], pos[:, 2], target_crs=local_crs, xp=np)
+    df = pd.DataFrame({
+        "Timestamp": pd.to_datetime(t, unit="s"),
+        "Local_X": np.asarray(x), "Local_Y": np.asarray(y),
+    })
+    if spd_files:
+        spd = np.vstack([np.loadtxt(p, ndmin=2) for p in spd_files])
+        ts = spd[:, 0] + spd[:, 1] * 1e-9
+        # align speeds to position timestamps (nearest fix)
+        idx = np.searchsorted(ts, t).clip(0, len(ts) - 1)
+        prev = (idx - 1).clip(0)
+        use_prev = np.abs(ts[prev] - t) < np.abs(ts[idx] - t)
+        df["speed_kmh"] = spd[np.where(use_prev, prev, idx), 2] * 3.6
+    return df
+
+
+def load_probe_map(path: Path) -> dict:
+    """{video: {id: int, start: iso-ts, end: iso-ts}} from YAML or JSON."""
+    import json
+
+    text = path.read_text()
+    if path.suffix in (".yaml", ".yml"):
+        import yaml
+
+        return yaml.safe_load(text)
+    return json.loads(text)
+
+
+# ---------------------------------------------------------------------------
+# Error model (reference compute_errors_per_video)
+# ---------------------------------------------------------------------------
+
+def _two_nearest(dist: np.ndarray) -> tuple[int, int]:
+    i1 = int(np.argmin(dist))
+    if i1 == 0:
+        return i1, 1
+    if i1 == len(dist) - 1:
+        return i1, len(dist) - 2
+    return i1, i1 - 1 if dist[i1 - 1] < dist[i1 + 1] else i1 + 1
+
+
+def trajectory_errors(probe: pd.DataFrame, ext: pd.DataFrame,
+                      stop_threshold: float) -> tuple[np.ndarray, np.ndarray]:
+    """Per-probe-fix (positional_error_m, speed_error_kmh); NaN where the
+    probe is stationary. Positional error is point-to-segment distance
+    through the two nearest extracted points; speed error interpolates the
+    two nearest extracted speeds by inverse distance."""
+    ex = ext["Local_X"].to_numpy()
+    ey = ext["Local_Y"].to_numpy()
+    es = ext["Vehicle_Speed"].to_numpy() if "Vehicle_Speed" in ext else np.full(len(ext), np.nan)
+    pos_err = np.full(len(probe), np.nan)
+    spd_err = np.full(len(probe), np.nan)
+    has_speed = "speed_kmh" in probe.columns
+    for k, (px, py) in enumerate(zip(probe["Local_X"].to_numpy(),
+                                     probe["Local_Y"].to_numpy())):
+        if has_speed and probe["speed_kmh"].iloc[k] < stop_threshold:
+            continue
+        d = np.hypot(ex - px, ey - py)
+        i1, i2 = _two_nearest(d)
+        seg = np.array([ex[i2] - ex[i1], ey[i2] - ey[i1]])
+        seg_len = np.linalg.norm(seg)
+        if seg_len < 1e-9:
+            pos_err[k] = d[i1]
+        else:
+            pos_err[k] = abs(np.cross(seg, [ex[i1] - px, ey[i1] - py])) / seg_len
+        if has_speed:
+            s1, s2 = es[i1], es[i2]
+            if np.isnan(s1) and np.isnan(s2):
+                continue
+            if np.isnan(s1):
+                interp = s2
+            elif np.isnan(s2):
+                interp = s1
+            else:
+                w1 = d[i2] / max(d[i1] + d[i2], 1e-9)
+                interp = w1 * s1 + (1 - w1) * s2
+            spd_err[k] = probe["speed_kmh"].iloc[k] - interp
+    return pos_err, spd_err
+
+
+def refine_window(probe: pd.DataFrame, ext: pd.DataFrame) -> pd.DataFrame:
+    """Clip the probe log to the extracted trajectory's pass: the fixes
+    geometrically closest to the first/last extracted positions bound the
+    window (reference find_start_end_times)."""
+    if len(ext) == 0 or len(probe) == 0:
+        return probe
+
+    def closest_ts(x, y):
+        d = np.hypot(probe["Local_X"].to_numpy() - x, probe["Local_Y"].to_numpy() - y)
+        return probe["Timestamp"].iloc[int(np.argmin(d))]
+
+    t0 = closest_ts(ext["Local_X"].iloc[0], ext["Local_Y"].iloc[0])
+    t1 = closest_ts(ext["Local_X"].iloc[-1], ext["Local_Y"].iloc[-1])
+    if t1 < t0:
+        t0, t1 = t1, t0
+    return probe[(probe["Timestamp"] >= t0) & (probe["Timestamp"] <= t1)]
+
+
+def path_length(df: pd.DataFrame) -> float:
+    dx = np.diff(df["Local_X"].to_numpy())
+    dy = np.diff(df["Local_Y"].to_numpy())
+    return float(np.hypot(dx, dy).sum())
+
+
+# ---------------------------------------------------------------------------
+# Kinematics recomputation (for the sweep)
+# ---------------------------------------------------------------------------
+
+def smoothed_speed(ext: pd.DataFrame, param: float, filter_type: str,
+                   fps: float) -> np.ndarray:
+    """Speed [km/h] from raw Local_X/Y with one smoothing setting (kernel =
+    gaussian sigma or savgol window, matching cfg georef.filtering)."""
+    raw = compute_speed(ext["Local_X"].to_numpy(), ext["Local_Y"].to_numpy(), fps)
+    smooth = apply_filter(raw, max(int(round(param)), 1), filter_type)
+    if filter_type == "gaussian":
+        # fractional sigmas: apply_filter quantizes, refine directly
+        from scipy.ndimage import gaussian_filter1d
+
+        smooth = gaussian_filter1d(raw, param, mode="reflect", truncate=3.0)
+    return np.insert(smooth * 3.6, 0, np.nan)
+
+
+def default_grid(filter_type: str) -> np.ndarray:
+    if filter_type == "gaussian":
+        return np.linspace(1, 25, 49)  # step 0.5 (reference :337)
+    return np.arange(30, 81, 3, dtype=float)  # savgol window (reference :339)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation + reporting
+# ---------------------------------------------------------------------------
+
+def summarize(pairs: dict[str, tuple[pd.DataFrame, pd.DataFrame]],
+              stop_threshold: float):
+    """Per-video and per-intersection stats from {video: (probe_f, ext)}.
+    Returns (video_stats, intersection_stats, intersection_meta)."""
+    vstats, ierr, imeta = {}, {}, {}
+    for video, (probe_f, ext) in sorted(pairs.items()):
+        pos, spd = trajectory_errors(probe_f, ext, stop_threshold)
+        dur = (probe_f["Timestamp"].iloc[-1] - probe_f["Timestamp"].iloc[0]).total_seconds() \
+            if len(probe_f) > 1 else 0.0
+        length = path_length(probe_f)
+        vstats[video] = {
+            "pos_mean": np.nanmean(pos), "pos_std": np.nanstd(pos),
+            "spd_mean": np.nanmean(np.abs(spd)), "spd_std": np.nanstd(np.abs(spd)),
+            "length": length, "duration": dur,
+        }
+        inter = video[0]
+        ierr.setdefault(inter, ([], []))
+        ierr[inter][0].append(pos)
+        ierr[inter][1].append(spd)
+        meta = imeta.setdefault(inter, {"length": 0.0, "duration": 0.0})
+        meta["length"] += length
+        meta["duration"] += dur
+    istats = {}
+    for inter, (pos_list, spd_list) in ierr.items():
+        pos = np.concatenate(pos_list)
+        spd = np.abs(np.concatenate(spd_list))
+        istats[inter] = {
+            "pos_mean": np.nanmean(pos), "pos_std": np.nanstd(pos),
+            "spd_mean": np.nanmean(spd), "spd_std": np.nanstd(spd),
+        }
+    return vstats, istats, imeta
+
+
+def print_stats(vstats: dict, istats: dict, imeta: dict) -> None:
+    for video, s in sorted(vstats.items()):
+        print(f"Video {video:<8}: position {s['pos_mean']:.3f} +/- {s['pos_std']:.3f} m, "
+              f"speed {s['spd_mean']:.3f} +/- {s['spd_std']:.3f} km/h, "
+              f"length {s['length']:.1f} m, duration {s['duration']:.1f} s")
+    for inter, s in sorted(istats.items()):
+        m = imeta[inter]
+        print(f"Intersection {inter}: position {s['pos_mean']:.3f} +/- {s['pos_std']:.3f} m, "
+              f"speed {s['spd_mean']:.3f} +/- {s['spd_std']:.3f} km/h, "
+              f"length {m['length']:.1f} m, duration {m['duration']:.1f} s")
+
+
+def save_latex(vstats: dict, istats: dict, imeta: dict, out_dir: Path) -> None:
+    """The per-video / per-intersection LaTeX table rows of the paper."""
+    out_dir.mkdir(parents=True, exist_ok=True)
+    with open(out_dir / "AV_errors_per_video.tex", "w") as f:
+        for video, s in sorted(vstats.items()):
+            f.write(f"    {video} & ${s['pos_mean']:.3f} \\pm {s['pos_std']:.3f}$ & "
+                    f"${s['spd_mean']:.3f} \\pm {s['spd_std']:.3f}$ & "
+                    f"{s['length']:.2f} & {s['duration']:.2f}\\\\\n")
+    with open(out_dir / "AV_errors_per_intersection.tex", "w") as f:
+        for inter, s in sorted(istats.items()):
+            m = imeta[inter]
+            f.write(f"    {inter} & ${s['pos_mean']:.3f} \\pm {s['pos_std']:.3f}$ & "
+                    f"${s['spd_mean']:.3f} \\pm {s['spd_std']:.3f}$ & "
+                    f"{m['length']:.2f} & {m['duration']:.2f}\\\\\n")
+    print(f"LaTeX tables -> {out_dir}")
+
+
+def save_plots(pairs: dict, sweep: dict | None, out_dir: Path) -> None:
+    """PDF plots: probe-vs-extracted trajectories per video, and (when
+    tuning) the per-intersection sweep curves."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    n = len(pairs)
+    cols = min(n, 4)
+    rows = (n + cols - 1) // cols
+    fig, axs = plt.subplots(rows, cols, figsize=(4 * cols, 3.2 * rows), squeeze=False)
+    for ax, (video, (probe_f, ext)) in zip(axs.flat, sorted(pairs.items())):
+        ax.plot(probe_f["Local_X"], probe_f["Local_Y"], "k-", lw=1.2, label="RTK probe")
+        ax.plot(ext["Local_X"], ext["Local_Y"], "--", lw=1.2, label="extracted")
+        ax.set_title(video, fontsize=9)
+        ax.set_aspect("equal", adjustable="datalim")
+        ax.tick_params(labelsize=7)
+    for ax in axs.flat[n:]:
+        ax.axis("off")
+    axs.flat[0].legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(out_dir / "AV_trajectories.pdf")
+    plt.close(fig)
+    if sweep:
+        fig, ax = plt.subplots(figsize=(6, 4))
+        for inter, (grid, means, stds) in sorted(sweep.items()):
+            ax.plot(grid, means, label=f"{inter} mean |err|")
+            ax.plot(grid, stds, "--", alpha=0.6, label=f"{inter} std")
+        ax.set_xlabel("smoothing parameter")
+        ax.set_ylabel("speed error [km/h]")
+        ax.legend(fontsize=7)
+        fig.tight_layout()
+        fig.savefig(out_dir / "AV_speed_error_sweep.pdf")
+        plt.close(fig)
+    print(f"Plots -> {out_dir}")
+
+
+# ---------------------------------------------------------------------------
+# Sweep (reference tune_smoothing_parameters)
+# ---------------------------------------------------------------------------
+
+def tune(pairs: dict, filter_type: str, grid: np.ndarray, fps: float,
+         stop_threshold: float):
+    """For every smoothing setting: recompute extracted speeds from raw
+    positions, re-evaluate speed errors, aggregate per intersection. Report
+    the best setting under both reference criteria."""
+    sweep = {}  # inter -> (grid, mean_abs, std)
+    imeta = {}
+    by_inter: dict[str, list[str]] = {}
+    for video in pairs:
+        by_inter.setdefault(video[0], []).append(video)
+    for inter, videos in sorted(by_inter.items()):
+        means, stds = [], []
+        for param in grid:
+            errs = []
+            for video in videos:
+                probe_f, ext = pairs[video]
+                ext2 = ext.copy()
+                ext2["Vehicle_Speed"] = smoothed_speed(ext, param, filter_type, fps)
+                _, spd = trajectory_errors(probe_f, ext2, stop_threshold)
+                errs.append(spd)
+            err = np.abs(np.concatenate(errs))
+            means.append(np.nanmean(err))
+            stds.append(np.nanstd(err))
+        sweep[inter] = (grid, np.asarray(means), np.asarray(stds))
+        imeta[inter] = sum(path_length(pairs[v][0]) for v in videos)
+
+    for crit, idx_fn in (("mean |speed error|", lambda m, s: int(np.nanargmin(m))),
+                         ("speed error std", lambda m, s: int(np.nanargmin(s)))):
+        print(f"\nBest smoothing ({filter_type}) by lowest {crit}:")
+        best_sum = best_weighted = weight_sum = 0.0
+        for inter, (g, means, stds) in sorted(sweep.items()):
+            i = idx_fn(means, stds)
+            print(f"  intersection {inter}: param {g[i]:g} "
+                  f"-> {means[i]:.3f} +/- {stds[i]:.3f} km/h")
+            best_sum += g[i]
+            best_weighted += g[i] * imeta[inter]
+            weight_sum += imeta[inter]
+        print(f"  average best param: {best_sum / len(sweep):.2f}; "
+              f"length-weighted: {best_weighted / max(weight_sum, 1e-9):.2f}")
+    return sweep
+
+
+# ---------------------------------------------------------------------------
+# Input assembly
+# ---------------------------------------------------------------------------
+
+def pairs_from_dataset(args) -> dict[str, tuple[pd.DataFrame, pd.DataFrame]]:
+    """{video: (refined probe window, extracted AV trajectory)} from a data
+    tree + probe map."""
+    if args.probe_map is None:
+        raise SystemExit("dataset mode needs --probe-map (video -> {id,start,end})")
+    probe_map = load_probe_map(args.probe_map)
+    probe = load_rtk_logs(args.data / "av_trajectories", args.local_crs)
+    results = args.data / args.results_folder
+    pairs = {}
+    for video, spec in probe_map.items():
+        csv = next(iter(sorted(results.glob(f"{video}*.csv"))), None)
+        if csv is None:
+            print(f"warning: no pipeline CSV for '{video}' under {results}")
+            continue
+        df = pd.read_csv(csv)
+        ext = df[df["Vehicle_ID"] == int(spec["id"])]
+        if "Visibility" in ext.columns:
+            ext = ext[ext["Visibility"] == 1]
+        if len(ext) < 2:
+            print(f"warning: vehicle {spec['id']} absent/short in {csv.name}")
+            continue
+        window = probe[(probe["Timestamp"] >= pd.to_datetime(spec["start"]))
+                       & (probe["Timestamp"] <= pd.to_datetime(spec["end"]))]
+        pairs[video] = (refine_window(window, ext), ext.reset_index(drop=True))
+    if not pairs:
+        raise SystemExit("no usable (probe, extraction) pairs")
+    return pairs
+
+
+def pairs_from_single_csv(args) -> dict[str, tuple[pd.DataFrame, pd.DataFrame]]:
+    """Simple mode: auto-match the probe to the pipeline vehicle with the
+    lowest mean frame-aligned position error."""
+    if args.probe is None:
+        raise SystemExit("single-CSV mode needs --probe probe.csv (frame,x,y[,speed_kmh])")
+    pipeline = pd.read_csv(args.data)
+    probe = pd.read_csv(args.probe).rename(columns={"x": "Local_X", "y": "Local_Y"})
+    if "Timestamp" not in probe.columns:
+        probe["Timestamp"] = pd.to_datetime(probe["frame"] / args.fps, unit="s")
+    best_id, best_err, best_n = None, np.inf, 0
     for vid, grp in pipeline.groupby("Vehicle_ID"):
         joined = grp.merge(probe, left_on="Frame_Number", right_on="frame",
                            suffixes=("", "_gt"))
         if len(joined) < 10:
             continue
-        err = np.hypot(joined.Local_X - joined.x, joined.Local_Y - joined.y).mean()
+        err = np.hypot(joined.Local_X - joined.Local_X_gt,
+                       joined.Local_Y - joined.Local_Y_gt).mean()
         if err < best_err:
-            best_err, best_id, merged_best = err, vid, joined
-    return best_id, best_err, merged_best
+            best_id, best_err, best_n = vid, err, len(joined)
+    if best_id is None:
+        raise SystemExit("no pipeline vehicle overlaps the probe log")
+    print(f"Probe matched to Vehicle_ID {best_id}: mean aligned position error "
+          f"{best_err:.3f} m over {best_n} frames")
+    ext = pipeline[pipeline["Vehicle_ID"] == best_id].reset_index(drop=True)
+    video = args.data.stem.split(".")[0] or "V"
+    return {video: (refine_window(probe, ext), ext)}
 
 
 def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    parser.add_argument("pipeline_csv", type=Path)
-    parser.add_argument("probe_csv", type=Path,
-                        help="Ground truth: columns frame, x, y [, speed_kmh] (local CRS metres)")
-    parser.add_argument("--fps", type=float, default=30000 / 1001)
-    parser.add_argument("--kernels", type=int, nargs="+", default=[6, 10, 14, 20, 28])
+    parser.add_argument("data", type=Path,
+                        help="Dataset directory (with av_trajectories/ + results) "
+                             "or a single georeferenced pipeline CSV")
+    parser.add_argument("--probe", type=Path, default=None,
+                        help="[single-CSV mode] probe CSV: frame,x,y[,speed_kmh]")
+    parser.add_argument("--probe-map", type=Path, default=None,
+                        help="[dataset mode] YAML/JSON {video: {id,start,end}}")
+    parser.add_argument("--results-folder", default="results",
+                        help="Subfolder with the pipeline CSVs (default: results)")
+    parser.add_argument("--local-crs", default="epsg:5186",
+                        help="Projected CRS for RTK lon/lat -> local metres")
+    parser.add_argument("--fps", type=float, default=DEFAULT_FPS)
+    parser.add_argument("--tune", "-t", action="store_true",
+                        help="Sweep the smoothing grid instead of the default "
+                             "setting only")
+    parser.add_argument("--filter", "-f", choices=("gaussian", "savgol"),
+                        default="gaussian")
+    parser.add_argument("--grid", type=float, nargs="+", default=None,
+                        help="Override the sweep grid (default: the reference's "
+                             "1..25/0.5 gaussian or 30..80/3 savgol)")
+    parser.add_argument("--stop-threshold", type=float, default=STOP_THRESHOLD_KMH,
+                        help="Probe fixes below this speed [km/h] are excluded")
+    parser.add_argument("--save", action="store_true",
+                        help="Write LaTeX tables + PDF plots next to the results")
+    parser.add_argument("--out", type=Path, default=None,
+                        help="Output folder for --save (default: <data>/plots)")
     args = parser.parse_args()
 
-    pipeline = pd.read_csv(args.pipeline_csv)
-    probe = pd.read_csv(args.probe_csv)
-    vid, pos_err, joined = match_probe(pipeline, probe)
-    if vid is None:
-        print("No pipeline vehicle overlaps the probe log.")
-        return 1
-    print(f"Probe matched to Vehicle_ID {vid}: mean position error {pos_err:.3f} m "
-          f"over {len(joined)} frames")
+    pairs = (pairs_from_dataset(args) if args.data.is_dir()
+             else pairs_from_single_csv(args))
 
-    if "speed_kmh" in probe.columns:
-        gt_speed = joined["speed_kmh"].to_numpy()
-        pipe_speed = joined["Vehicle_Speed"].to_numpy()
-        both = ~np.isnan(gt_speed) & ~np.isnan(pipe_speed)
-        if both.any():
-            rmse = float(np.sqrt(np.mean((gt_speed[both] - pipe_speed[both]) ** 2)))
-            print(f"Pipeline speed RMSE vs probe: {rmse:.2f} km/h (current filter settings)")
+    vstats, istats, imeta = summarize(pairs, args.stop_threshold)
+    print_stats(vstats, istats, imeta)
 
-        # filter sweep on the raw positions
-        joined = joined.sort_values("Frame_Number")
-        x = joined.Local_X.to_numpy()
-        y = joined.Local_Y.to_numpy()
-        print(f"\n{'filter':<10}{'kernel':>8}{'speed RMSE [km/h]':>20}")
-        best = (None, None, np.inf)
-        for filter_type in ("gaussian", "savgol"):
-            for kernel in args.kernels:
-                raw = compute_speed(x, y, args.fps)
-                smooth = apply_filter(raw, kernel, filter_type) * 3.6
-                smooth = np.insert(smooth, 0, np.nan)
-                both = ~np.isnan(gt_speed) & ~np.isnan(smooth)
-                if not both.any():
-                    continue
-                rmse = float(np.sqrt(np.mean((gt_speed[both] - smooth[both]) ** 2)))
-                print(f"{filter_type:<10}{kernel:>8}{rmse:>20.3f}")
-                if rmse < best[2]:
-                    best = (filter_type, kernel, rmse)
-        if best[0]:
-            print(f"\nBest: filter_type={best[0]} kernel_size={best[1]} "
-                  f"(RMSE {best[2]:.3f} km/h) -> set cfg georef.filtering accordingly")
+    sweep = None
+    if args.tune:
+        grid = np.asarray(args.grid, float) if args.grid else default_grid(args.filter)
+        sweep = tune(pairs, args.filter, grid, args.fps, args.stop_threshold)
+
+    if args.save:
+        out = args.out or ((args.data if args.data.is_dir() else args.data.parent) / "plots")
+        save_latex(vstats, istats, imeta, out)
+        save_plots(pairs, sweep, out)
     return 0
 
 
