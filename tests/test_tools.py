@@ -32,17 +32,58 @@ def test_tool_help(tool):
 
 
 def test_subset_orthophoto(tmp_path):
+    """Pixel-centers mode on a plain PNG mosaic (whole-image fallback)."""
     from PIL import Image
 
     rng = np.random.default_rng(0)
     Image.fromarray(rng.integers(0, 255, (400, 400, 3), np.uint8)).save(tmp_path / "mosaic.png")
-    result = run_tool("subset_orthophoto.py", tmp_path / "mosaic.png",
-                      "--centers", "U=200,200", "--width", "100", "--out", tmp_path / "o")
+    result = run_tool("subset_orthophoto.py",
+                      "--orthophoto-filepath", tmp_path / "mosaic.png",
+                      "--ortho-cutout-folder", tmp_path / "o",
+                      "--centers", "U=200,200", "--crop-size", "100",
+                      "--scale-factor", "1.0")
     assert result.returncode == 0, result.stderr
     assert (tmp_path / "o" / "U.png").exists()
-    assert (tmp_path / "o" / "U_center.txt").read_text().strip() == "200 200"
+    center = np.loadtxt(tmp_path / "o" / "U_center.txt")
+    assert center.tolist() == [200.0, 200.0]
     with Image.open(tmp_path / "o" / "U.png") as img:
         assert img.size == (100, 100)
+
+
+def test_subset_orthophoto_geotiff_mode(tmp_path):
+    """Reference-parity mode: GeoTIFF + JSON lat/lng location dict, tiled
+    windowed reads, ortho_parameters.txt + center files + downscaled PNG
+    (reference tools/subset_orthophoto.py:64-94)."""
+    from PIL import Image
+
+    from geotrax_tpu.io.tiff_tiled import write_tiled_tiff
+
+    rng = np.random.default_rng(1)
+    mosaic = rng.integers(0, 255, (600, 800, 3), np.uint8)
+    lng_0, lat_0, scale = 126.60, 37.40, 1e-5
+    write_tiled_tiff(tmp_path / "ortho.tif", mosaic, tile=256,
+                     geo=(lng_0, lat_0, scale, scale))
+    # location at pixel (cx=400, cy=300): lng = lng_0 + 400*scale, lat = lat_0 - 300*scale
+    (tmp_path / "loc.json").write_text(json.dumps(
+        {"U": [lat_0 - 300 * scale, lng_0 + 400 * scale]}))
+    result = run_tool("subset_orthophoto.py",
+                      "--orthophoto-filepath", tmp_path / "ortho.tif",
+                      "--ortho-cutout-folder", tmp_path / "cut",
+                      "--location-dict-filepath", tmp_path / "loc.json",
+                      "--crop-size", "200", "--scale-factor", "0.5")
+    assert result.returncode == 0, result.stderr
+    params = np.loadtxt(tmp_path / "cut" / "ortho_parameters.txt")
+    np.testing.assert_allclose(params, [lng_0, lat_0, scale, -scale])
+    center = np.loadtxt(tmp_path / "cut" / "U_center.txt")
+    assert center.tolist() == [400.0, 300.0]
+    with Image.open(tmp_path / "cut" / "U.png") as img:
+        out = np.asarray(img)
+    assert out.shape == (100, 100, 3)
+    # the windowed read is exact: compare the unscaled crop through cv2
+    cv2 = pytest.importorskip("cv2")
+    expected = cv2.resize(mosaic[200:400, 300:500], (100, 100),
+                          interpolation=cv2.INTER_AREA)
+    np.testing.assert_array_equal(out, expected)
 
 
 def test_viz_segmentations(tmp_path):
@@ -195,9 +236,20 @@ def test_viz_dimension_estimation(tmp_path):
     path = tmp_path / "V.txt"
     np.savetxt(path, np.array(rows), fmt="%g", delimiter=",")
     result = run_tool("viz_dimension_estimation.py", path, "--id", "3",
-                      "--frame-size", "3840", "2160")
+                      "--frame-size", "3840", "2160", "--save")
     assert result.returncode == 0, result.stderr
-    assert (tmp_path / "V_dim_track3.pdf").exists()
+    plots = tmp_path / "plots"
+    # the reference's two figures + the diagnostic panel
+    assert (plots / "V_trajectory_with_dimensions_id3.pdf").exists()
+    assert (plots / "V_dimensions_distribution_id3.pdf").exists()
+    assert (plots / "V_estimation_diagnostics_id3.pdf").exists()
+    assert "Q25 estimate" in (result.stdout + result.stderr)
+
+    # an unknown id exits with the available-id listing (reference behavior)
+    result = run_tool("viz_dimension_estimation.py", path, "--id", "99",
+                      "--frame-size", "3840", "2160")
+    assert result.returncode != 0
+    assert "Available IDs" in (result.stdout + result.stderr)
 
 
 def test_compare_av_detections(tmp_path):
@@ -213,7 +265,272 @@ def test_compare_av_detections(tmp_path):
     pd.DataFrame({"frame": frames, "x": x, "y": 532000.0, "speed_kmh": 72.0}).to_csv(
         tmp_path / "gt.csv", index=False)
     result = run_tool("compare_av_detections_and_tune_filters.py",
-                      tmp_path / "p.csv", tmp_path / "gt.csv", "--fps", "10")
+                      tmp_path / "p.csv", "--probe", tmp_path / "gt.csv",
+                      "--fps", "10", "--tune", "--grid", "2", "5", "9")
     assert result.returncode == 0, result.stderr
     assert "Vehicle_ID 7" in result.stdout
-    assert "Best: filter_type=" in result.stdout
+    assert "Best smoothing" in result.stdout
+    assert "average best param" in result.stdout
+
+
+def test_compare_av_dataset_mode(tmp_path):
+    """Dataset mode: RTK logs + probe map + per-video pipeline CSVs produce
+    per-video AND per-intersection stats, the sweep reports both reference
+    criteria, and --save writes the LaTeX tables + PDF plots
+    (reference compare_av_detections_and_tune_filters.py:150-554)."""
+    from geotrax_tpu.ops.tmerc import local2geo
+
+    av = tmp_path / "av_trajectories"
+    av.mkdir()
+    results = tmp_path / "results"
+    results.mkdir()
+
+    fps, n = 10.0, 80
+    t0 = 1_665_100_000.0
+    probe_rows, spd_rows, pmap = [], [], {}
+    for vi, video in enumerate(("K1_AV", "K2_AV", "L1_AV")):
+        # straight 3 m/s pass, distinct lanes; K* share an intersection
+        tt = t0 + vi * 1000 + np.arange(n) / fps
+        x = 170000.0 + 3.0 / fps * np.arange(n)
+        y = 532000.0 + 40.0 * vi
+        lat, lon = local2geo(x, np.full(n, y), xp=np)
+        sec = np.floor(tt)
+        nsec = np.round((tt - sec) * 1e9)
+        probe_rows.append(np.column_stack([sec, nsec, np.asarray(lon), np.asarray(lat)]))
+        spd_rows.append(np.column_stack([sec, nsec, np.full(n, 3.0)]))
+        pd.DataFrame({
+            "Vehicle_ID": 5, "Frame_Number": np.arange(n),
+            "Timestamp": pd.to_datetime(tt, unit="s"),
+            "Local_X": x + np.random.default_rng(vi).normal(0, 0.05, n),
+            "Local_Y": y, "Vehicle_Speed": 10.8, "Visibility": 1,
+        }).to_csv(results / f"{video}.csv", index=False)
+        pmap[video] = {
+            "id": 5,
+            "start": str(pd.to_datetime(tt[0], unit="s")),
+            "end": str(pd.to_datetime(tt[-1], unit="s")),
+        }
+    np.savetxt(av / "sec_nsec_lon_lat_2022.txt", np.vstack(probe_rows))
+    np.savetxt(av / "sec_nsec_horSpd_2022.txt", np.vstack(spd_rows))
+    (tmp_path / "probes.json").write_text(json.dumps(pmap))
+
+    result = run_tool("compare_av_detections_and_tune_filters.py", tmp_path,
+                      "--probe-map", tmp_path / "probes.json", "--fps", "10",
+                      "--tune", "--grid", "2", "6", "--save")
+    assert result.returncode == 0, result.stderr
+    assert "Video K1_AV" in result.stdout and "Video L1_AV" in result.stdout
+    assert "Intersection K" in result.stdout and "Intersection L" in result.stdout
+    assert "length-weighted" in result.stdout
+    plots = tmp_path / "plots"
+    assert (plots / "AV_errors_per_video.tex").exists()
+    assert (plots / "AV_errors_per_intersection.tex").exists()
+    assert (plots / "AV_trajectories.pdf").exists()
+    assert (plots / "AV_speed_error_sweep.pdf").exists()
+    # per-video tex has 3 rows, per-intersection 2 (K merged from K1+K2)
+    assert len((plots / "AV_errors_per_video.tex").read_text().splitlines()) == 3
+    assert len((plots / "AV_errors_per_intersection.tex").read_text().splitlines()) == 2
+    # positional error of a ~5 cm-noise straight pass must be centimetric
+    k_row = (plots / "AV_errors_per_intersection.tex").read_text().splitlines()[0]
+    assert float(k_row.split("$")[1].split("\\pm")[0]) < 0.2
+
+
+def _mk_video(path, n_frames, w=64, h=48):
+    cv2 = pytest.importorskip("cv2")
+    writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+    for i in range(n_frames):
+        writer.write(np.full((h, w, 3), i * 7 % 255, np.uint8))
+    writer.release()
+
+
+def test_sample_frames_balanced_and_filters(tmp_path):
+    """Reference parity: --balanced quota distribution, --skip-start/--skip-end
+    windows, and repeatable --csv-filter field:min:max criteria
+    (reference tools/sample_frames.py:24-104)."""
+    data = tmp_path / "PROCESSED"
+    (data / "A").mkdir(parents=True)
+    (data / "B").mkdir(parents=True)
+    _mk_video(data / "A" / "0_merged.mp4", 30)
+    _mk_video(data / "B" / "0_merged.mp4", 10)
+    out = tmp_path / "frames"
+
+    # balanced: 10 total -> 5 from each video despite the 3x length imbalance
+    r = run_tool("sample_frames.py", data, "-o", out, "-n", "10", "--balanced")
+    assert r.returncode == 0, r.stderr
+    names = sorted(p.name for p in out.glob("*.png"))
+    assert len(names) == 10
+    assert sum("A_0_merged" in n for n in names) == 5
+    assert sum("B_0_merged" in n for n in names) == 5
+
+    # global: all 8 eligible frames of a skip-windowed single video, idx in [3,7)
+    out2 = tmp_path / "frames2"
+    r = run_tool("sample_frames.py", data / "A" / "0_merged.mp4", "-o", out2,
+                 "-n", "99", "--skip-start", "3", "--skip-end", "23")
+    assert r.returncode == 0, r.stderr
+    idxs = sorted(int(p.stem.split("_")[-1]) for p in out2.glob("*.png"))
+    assert idxs == [3, 4, 5, 6]
+
+    # csv-filter: rel_alt band + iso ceiling, multi-field AND semantics
+    pd.DataFrame({
+        "frame": range(30),
+        "rel_alt": [100.0] * 10 + [150.0] * 10 + [200.0] * 10,
+        "iso": [100.0] * 15 + [800.0] * 15,
+    }).to_csv(data / "A" / "0_merged.csv", index=False)
+    out3 = tmp_path / "frames3"
+    r = run_tool("sample_frames.py", data / "A" / "0_merged.mp4", "-o", out3,
+                 "-n", "99", "--csv-filter", "rel_alt:130:160",
+                 "--csv-filter", "iso::400")
+    assert r.returncode == 0, r.stderr
+    idxs = sorted(int(p.stem.split("_")[-1]) for p in out3.glob("*.png"))
+    assert idxs == list(range(10, 15))  # alt 150 AND iso 100 rows only
+
+    # a filter excludes videos with no companion log
+    r = run_tool("sample_frames.py", data, "-o", tmp_path / "f4", "-n", "99",
+                 "--csv-filter", "rel_alt:130:160")
+    assert r.returncode == 0, r.stderr
+    assert "no flight log" in r.stdout and "B" in r.stdout
+
+    # dry-run writes nothing
+    out5 = tmp_path / "frames5"
+    r = run_tool("sample_frames.py", data, "-o", out5, "-n", "4", "--dry-run")
+    assert r.returncode == 0, r.stderr
+    assert not out5.exists()
+    assert r.stdout.count("[dry-run]") == 4
+
+
+def test_compute_bb_center_error(tmp_path):
+    """Reference-parity semantics: center-in-box matching, per-class table +
+    overall row, NaN for unmatched GT, --save figures, --class-agnostic mode
+    (reference tools/compute_bb_center_error.py:98-278)."""
+    from PIL import Image
+
+    images = tmp_path / "images"
+    labels = tmp_path / "labels"
+    preds = tmp_path / "pre-labels"
+    for d in (images, labels, preds):
+        d.mkdir()
+    Image.new("RGB", (200, 100), (10, 10, 10)).save(images / "000001.jpg")
+    # GT: class0 box center (100,50) size 40x40 px; class1 at (40,30) 20x20
+    (labels / "000001.txt").write_text(
+        "0 0.5 0.5 0.2 0.4\n"
+        "1 0.2 0.3 0.1 0.2\n"
+    )
+    # predictions: one 4px off inside box A; one far away (no match for B)
+    (preds / "000001.txt").write_text(
+        "0 0.52 0.5 0.2 0.4\n"
+        "0 0.9 0.9 0.05 0.05\n"
+    )
+    r = run_tool("compute_bb_center_error.py", images, "--save")
+    assert r.returncode == 0, r.stderr
+    out_text = r.stdout + r.stderr
+    assert "Class-specific error statistics" in out_text
+    assert "4.00" in out_text          # class 0: 0.02*200 = 4 px center error
+    assert "nan" in out_text.lower()   # class 1 unmatched -> NaN row
+    assert (tmp_path / "error_distribution_by_class.pdf").exists()
+    assert (tmp_path / "error_distribution_by_class.png").exists()
+
+    r = run_tool("compute_bb_center_error.py", images, "--class-agnostic")
+    assert r.returncode == 0, r.stderr
+    out_text = r.stdout + r.stderr
+    assert "Class-agnostic error statistics" in out_text
+    assert "Mean error: 4.00" in out_text
+    assert "Number of NaN errors: 1" in out_text
+
+
+def test_fix_json_annotations_labelme_dir(tmp_path):
+    """Reference-parity directory mode: imageData removal, path normalize/
+    edit chain, HBB<->OBB shape conversion, --debug preview
+    (reference tools/fix_json_annotations.py:94-239)."""
+    d = tmp_path / "labels"
+    d.mkdir()
+    ann = {
+        "imagePath": "imgs\\sub\\a.png",
+        "imageData": "QUJD",
+        "shapes": [
+            {"label": "car", "shape_type": "rectangle",
+             "points": [[10, 20], [50, 60]]},
+            {"label": "bus", "shape_type": "polygon",
+             "points": [[0, 0], [0, 4], [8, 4], [8, 0]]},
+        ],
+    }
+    (d / "a.json").write_text(json.dumps(ann))
+
+    # debug: nothing changes on disk
+    r = run_tool("fix_json_annotations.py", d, "--remove-image-data", "--debug")
+    assert r.returncode == 0, r.stderr
+    assert json.loads((d / "a.json").read_text())["imageData"] == "QUJD"
+    assert "debug mode" in (r.stdout + r.stderr)
+
+    r = run_tool("fix_json_annotations.py", d, "--remove-image-data",
+                 "--normalize-to-unix", "--remove-from-path", "imgs/",
+                 "--to-obb")
+    assert r.returncode == 0, r.stderr
+    out = json.loads((d / "a.json").read_text())
+    assert out["imageData"] is None
+    assert out["imagePath"] == "sub/a.png"
+    # rectangle became TL,BL,BR,TR polygon
+    assert out["shapes"][0]["shape_type"] == "polygon"
+    assert out["shapes"][0]["points"] == [[10, 20], [10, 60], [50, 60], [50, 20]]
+
+    r = run_tool("fix_json_annotations.py", d, "--to-hbb")
+    assert r.returncode == 0, r.stderr
+    out = json.loads((d / "a.json").read_text())
+    assert out["shapes"][0]["points"] == [[10, 20], [50, 60]]
+    assert out["shapes"][1]["points"] == [[0, 0], [8, 4]]
+
+
+def test_annotate_frames_workflow(tmp_path):
+    """Reference annotation workflow: pre-labels default dir, empty txt for
+    background, skip-existing vs --overwrite, --save-conf extended format,
+    per-class thresholds, masked output (reference tools/annotate_frames.py)."""
+    import jax
+
+    from PIL import Image
+
+    from geotrax_tpu.models import yolov8
+    from geotrax_tpu.models.convert import save_npz
+
+    spec = yolov8.ModelSpec(variant="n", nc=4)
+    save_npz(tmp_path / "tiny.npz",
+             jax.device_get(yolov8.init_params(jax.random.PRNGKey(0), spec)),
+             class_names={0: "car", 1: "bus", 2: "truck", 3: "motorcycle"},
+             variant="n", nc=4)
+    images = tmp_path / "data" / "images"
+    images.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for name in ("f1", "f2"):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), np.uint8)).save(
+            images / f"{name}.jpg")
+
+    common = ("--model", tmp_path / "tiny.npz", "--imgsz", "64",
+              "--max-det", "8")
+    r = run_tool("annotate_frames.py", images, *common, "--conf", "0.0",
+                 "--save-conf", "--save-masked", "--margin", "0.1")
+    assert r.returncode == 0, r.stderr
+    labels = tmp_path / "data" / "pre-labels"
+    assert (labels / "f1.txt").exists() and (labels / "f2.txt").exists()
+    rows = (labels / "f1.txt").read_text().split()
+    if rows:  # random weights: detections likely at conf 0 -> 6-col format
+        assert len(rows) % 6 == 0
+    assert (labels / "masked" / "f1.png").exists()
+
+    # skip-existing: second run reports skips and leaves files untouched
+    before = (labels / "f1.txt").read_text()
+    (labels / "f1.txt").write_text("9 0.5 0.5 0.1 0.1\n")
+    r = run_tool("annotate_frames.py", images, *common, "--conf", "0.0")
+    assert r.returncode == 0, r.stderr
+    assert "2 existing annotation(s) skipped" in (r.stdout + r.stderr)
+    assert (labels / "f1.txt").read_text() == "9 0.5 0.5 0.1 0.1\n"
+
+    # overwrite regenerates (5-col format without --save-conf)
+    r = run_tool("annotate_frames.py", images, *common, "--conf", "0.0",
+                 "--overwrite")
+    assert r.returncode == 0, r.stderr
+    regen = (labels / "f1.txt").read_text()
+    assert regen != "9 0.5 0.5 0.1 0.1\n"
+    if regen.strip():
+        assert len(regen.split()) % 5 == 0
+
+    # a per-class threshold of 1.0 on every class empties the annotations
+    r = run_tool("annotate_frames.py", images, *common, "--conf", "0.0",
+                 "--overwrite", "-t", "0=1.0", "1=1.0", "2=1.0", "3=1.0")
+    assert r.returncode == 0, r.stderr
+    assert (labels / "f1.txt").read_text().strip() == ""
