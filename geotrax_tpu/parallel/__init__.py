@@ -10,10 +10,12 @@ with prefix-sum ID offsetting.
 """
 
 from geotrax_tpu.parallel.mesh import (
+    make_hybrid_mesh,
     make_mesh,
     make_train_step,
     shard_batch,
     shard_params,
 )
 
-__all__ = ["make_mesh", "make_train_step", "shard_batch", "shard_params"]
+__all__ = ["make_hybrid_mesh", "make_mesh", "make_train_step", "shard_batch",
+           "shard_params"]

@@ -38,6 +38,52 @@ def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
     return Mesh(devices.reshape(dp, tp), axis_names=("data", "model"))
 
 
+DATA_AXES = ("slice", "data")  # batch dim 0 shards over both data axes
+
+
+def make_hybrid_mesh(n_slices: int, n_devices: Optional[int] = None,
+                     tp: Optional[int] = None) -> Mesh:
+    """('slice', 'data', 'model') mesh for multi-slice pods: the outer
+    'slice' axis crosses the DCN (inter-slice network), the inner axes stay
+    on ICI. The parallelism recipe keeps DCN traffic gradient-sized: tensor
+    parallelism ('model') never crosses slices, per-step activations shard
+    over in-slice 'data', and only the gradient psum reduces over 'slice'
+    (the scaling-book multi-pod recipe; reference scales via SLURM
+    one-process-per-GPU instead, train/README).
+
+    On real multi-slice TPU hardware the device grid comes from
+    mesh_utils.create_hybrid_device_mesh (DCN-aware placement); on a flat
+    device list (CPU tests, single slice) a plain reshape gives the same
+    logical topology."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if n % n_slices:
+        raise ValueError(f"{n} devices do not split into {n_slices} slices")
+    per_slice = n // n_slices
+    if tp is None:
+        tp = 2 if per_slice % 2 == 0 and per_slice > 1 else 1
+    dp = per_slice // tp
+    assert dp * tp == per_slice, f"dp({dp}) * tp({tp}) != per-slice({per_slice})"
+    shape = (n_slices, dp, tp)
+    if n_slices > 1 and getattr(devices[0], "slice_index", None) is not None:
+        from jax.experimental import mesh_utils
+
+        grid = mesh_utils.create_hybrid_device_mesh(
+            (1, dp, tp), (n_slices, 1, 1), devices=devices[:n]
+        )
+    else:
+        grid = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(grid, axis_names=("slice", "data", "model"))
+
+
+def batch_spec(mesh: Mesh) -> P:
+    """Batch-dim partition spec: over ('slice','data') on a hybrid mesh,
+    'data' otherwise."""
+    if "slice" in mesh.axis_names:
+        return P(DATA_AXES)
+    return P("data")
+
+
 def _param_spec(path_leaf, mesh: Mesh) -> P:
     """Partition spec for one parameter array: conv kernels (HWIO) shard O
     over 'model' when divisible; biases shard over 'model' when divisible;
@@ -61,9 +107,10 @@ def shard_params(params, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a batch pytree sharded over the 'data' axis (dim 0)."""
+    """Device-put a batch pytree sharded over the data axis/axes (dim 0)."""
+    spec = batch_spec(mesh)
     return jax.tree.map(
-        lambda a: jax.device_put(a, NamedSharding(mesh, P("data"))), batch
+        lambda a: jax.device_put(a, NamedSharding(mesh, spec)), batch
     )
 
 
@@ -86,7 +133,7 @@ def make_train_step(spec, tx, mesh: Mesh):
         params = constrain(params)
         batch = jax.tree.map(
             lambda a: jax.lax.with_sharding_constraint(
-                a, NamedSharding(mesh, P("data"))
+                a, NamedSharding(mesh, batch_spec(mesh))
             ),
             batch,
         )
@@ -115,7 +162,7 @@ def make_inference_step(spec, mesh: Mesh, conf: float = 0.25, iou: float = 0.7,
     @jax.jit
     def run(params, frames):
         frames = jax.lax.with_sharding_constraint(
-            frames, NamedSharding(mesh, P("data"))
+            frames, NamedSharding(mesh, batch_spec(mesh))
         )
         boxes, probs = yolov8.forward(params, frames, spec)
         return jax.vmap(

@@ -81,7 +81,9 @@ def train(args, logger=None) -> dict:
 
     from geotrax_tpu.models import yolov8
     from geotrax_tpu.models.convert import load_model, save_npz
-    from geotrax_tpu.parallel import make_mesh, shard_batch, shard_params
+    from geotrax_tpu.parallel import (
+        make_hybrid_mesh, make_mesh, shard_batch, shard_params,
+    )
     from geotrax_tpu.train.data import Loader
     from geotrax_tpu.utils.config_utils import load_config
     from geotrax_tpu.utils.logging_utils import setup_logger
@@ -126,7 +128,12 @@ def train(args, logger=None) -> dict:
         optax.sgd(schedule, momentum=momentum, nesterov=True),
     )
 
-    mesh = make_mesh(args.devices)
+    if getattr(args, "slices", None) and args.slices > 1:
+        # multi-slice pod: data parallelism crosses the DCN on the 'slice'
+        # axis, tensor parallelism stays on in-slice ICI (parallel/mesh.py)
+        mesh = make_hybrid_mesh(args.slices, args.devices)
+    else:
+        mesh = make_mesh(args.devices)
     from geotrax_tpu.models.loss import detection_loss
 
     box_gain = float(hp.get("box", 7.5))
@@ -216,6 +223,9 @@ def parse_cli_args():
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--max-gt", type=int, default=64, dest="max_gt")
     parser.add_argument("--devices", type=int, default=None, help="Mesh device count")
+    parser.add_argument("--slices", type=int, default=None,
+                        help="Multi-slice pod: shard data-parallelism across "
+                             "N slices over DCN (hybrid mesh)")
     parser.add_argument("--multihost", action="store_true",
                         help="Initialize jax.distributed for a multi-host pod slice "
                              "(each worker launched via train/launch.sh runs the same "
