@@ -136,10 +136,13 @@ def _stem_s2d_weights(w3: jnp.ndarray) -> jnp.ndarray:
 
 
 def stem_conv_s2d(p, x):
-    """Layer-0 conv via space-to-depth: mathematically identical to
-    conv_block(p, x, stride=2) but ~25% faster on TPU — the C=3 input wastes
-    125 of 128 vector lanes, so shrinking the spatial extent 4x first cuts
-    the padded work (validated exact to f32 rounding in tests)."""
+    """k3/s2 conv via space-to-depth: mathematically identical to
+    conv_block(p, x, stride=2) but faster on TPU for small input channel
+    counts — cin < 128 wastes MXU lanes (C=3 wastes 125 of 128), so
+    shrinking the spatial extent 4x while multiplying channels 4x raises
+    lane occupancy (validated exact to f32 rounding in tests). Used for
+    layer 0 (cin 3) and layer 1 (cin 32 for yolov8s) where the 4x channel
+    lift outweighs the 16/9 dense-tap overhead of the k2 rewrite."""
     w2 = _stem_s2d_weights(p["w"])
     xs = space_to_depth2(x)
     y = jax.lax.conv_general_dilated(
@@ -254,13 +257,18 @@ def forward_features(params, x, spec: ModelSpec):
             return c2f_block(L[str(i)], x, n=args["n"], shortcut=args["shortcut"])
         return sppf_block(L[str(i)], x)
 
-    # layer 0 runs in space-to-depth form when the input halves evenly
-    # (always true for letterboxed sizes); fall back for odd test shapes
+    # layers 0-1 run in space-to-depth form when the input halves evenly
+    # (always true for letterboxed sizes); fall back for odd test shapes.
+    # Layer 1's cin (16-64 depending on variant) still underfills the 128
+    # MXU lanes at its large spatial extent — the s2d lift wins there too.
     if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
         x = stem_conv_s2d(L["0"], x)
     else:
         x = run(0, x)
-    x = run(1, x)
+    if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        x = stem_conv_s2d(L["1"], x)
+    else:
+        x = run(1, x)
     x = run(2, x)
     x = run(3, x)
     p3 = run(4, x)

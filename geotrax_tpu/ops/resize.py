@@ -67,10 +67,13 @@ def resize_u8_linear(img_u8: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray
 
     if _is_exact_half(src_h, dst_h) and _is_exact_half(src_w, dst_w):
         # 0.5x: all coefficients are 1024 and the fixed-point pipeline
-        # reduces exactly to (p00+p01+p10+p11 + 2) >> 2 — one reduce_window.
-        s = jax.lax.reduce_window(
-            img_u8.astype(jnp.int32), 0, jax.lax.add, (2, 2, 1), (2, 2, 1), "VALID"
-        )
+        # reduces exactly to (p00+p01+p10+p11 + 2) >> 2. Strided slices, NOT
+        # reduce_window: reduce_window materializes its int32 operand, and a
+        # (H,W,3) int32 array takes a 16x-padded TPU tiled layout (channel
+        # dim lands in the 128-lane minor) — 12 GB of HLO temp per 8-frame
+        # 4K chunk. The slice+add form fuses into one elementwise kernel.
+        a = img_u8.astype(jnp.int32)
+        s = (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2])
         out = ((s + 2) >> 2).astype(jnp.uint8)
         return out[..., 0] if squeeze else out
 

@@ -47,23 +47,64 @@ class TMercParams(NamedTuple):
 
 
 # Projected CRS registry (EPSG id -> transverse-mercator parameters).
-# Korea 2000 belts (GRS80) per EPSG definitions; UTM handled separately.
+# Explicit entries per EPSG definitions; zone families (UTM/MGA/JPRCS)
+# resolve programmatically below. All listed CRS sit on GRS80/WGS84-class
+# datums (KGD2002, ETRS89, NAD83, GDA, JGD2011) whose offset from WGS84 is
+# at or below the ~1-2 m datum level — the georeference stage anchors to a
+# registered orthophoto, so only the PROJECTION must match, which it does.
 CRS_REGISTRY: dict[int, TMercParams] = {
-    5185: TMercParams(38.0, 125.0, 1.0, 200000.0, 600000.0, GRS80),  # Korea 2000 / West Belt 2010
-    5186: TMercParams(38.0, 127.0, 1.0, 200000.0, 600000.0, GRS80),  # Korea 2000 / Central Belt 2010
-    5187: TMercParams(38.0, 129.0, 1.0, 200000.0, 600000.0, GRS80),  # Korea 2000 / East Belt 2010
-    5188: TMercParams(38.0, 131.0, 1.0, 200000.0, 600000.0, GRS80),  # Korea 2000 / East Sea Belt 2010
+    # Korea 2000 belts (2010 numbering, y0 600 km)
+    5185: TMercParams(38.0, 125.0, 1.0, 200000.0, 600000.0, GRS80),  # West
+    5186: TMercParams(38.0, 127.0, 1.0, 200000.0, 600000.0, GRS80),  # Central
+    5187: TMercParams(38.0, 129.0, 1.0, 200000.0, 600000.0, GRS80),  # East
+    5188: TMercParams(38.0, 131.0, 1.0, 200000.0, 600000.0, GRS80),  # East Sea
+    # Korea 2000 belts (original numbering, y0 500 km) + Jeju 550 km
+    5180: TMercParams(38.0, 125.0, 1.0, 200000.0, 500000.0, GRS80),
+    5181: TMercParams(38.0, 127.0, 1.0, 200000.0, 500000.0, GRS80),
+    5182: TMercParams(38.0, 127.0, 1.0, 200000.0, 550000.0, GRS80),
+    5183: TMercParams(38.0, 129.0, 1.0, 200000.0, 500000.0, GRS80),
+    5184: TMercParams(38.0, 131.0, 1.0, 200000.0, 500000.0, GRS80),
+    # Korea 2000 / Unified CS (UTM-K)
+    5179: TMercParams(38.0, 127.5, 0.9996, 1000000.0, 2000000.0, GRS80),
 }
+
+# JGD2011 Japan Plane Rectangular CS zones I-XIX (EPSG 6669-6687):
+# (lat0, lon0) per zone, k0 0.9999, no false offsets.
+_JPRCS_ORIGINS = [
+    (33.0, 129.5), (33.0, 131.0), (36.0, 132.0 + 10 / 60), (33.0, 133.5),
+    (36.0, 134.0 + 20 / 60), (36.0, 136.0), (36.0, 137.0 + 10 / 60),
+    (36.0, 138.5), (36.0, 139.0 + 50 / 60), (40.0, 140.0 + 50 / 60),
+    (44.0, 140.25), (44.0, 142.25), (44.0, 144.25), (26.0, 142.0),
+    (26.0, 127.5), (26.0, 124.0), (26.0, 131.0), (20.0, 136.0),
+    (26.0, 154.0),
+]
 
 
 def _register_utm(epsg: int) -> TMercParams | None:
-    """EPSG 326xx (WGS84 UTM north) / 327xx (south)."""
-    if 32601 <= epsg <= 32660:
+    """Programmatic zone families (6-degree UTM-style TM grids):
+    WGS84 UTM 326xx/327xx, ETRS89 UTM 258xx, NAD83 UTM 269xx,
+    GDA94 MGA 283xx, GDA2020 MGA 78xx, JGD2011 zones 6669-6687."""
+    if 32601 <= epsg <= 32660:  # WGS84 / UTM north
         zone = epsg - 32600
         return TMercParams(0.0, zone * 6.0 - 183.0, 0.9996, 500000.0, 0.0, WGS84)
-    if 32701 <= epsg <= 32760:
+    if 32701 <= epsg <= 32760:  # WGS84 / UTM south
         zone = epsg - 32700
         return TMercParams(0.0, zone * 6.0 - 183.0, 0.9996, 500000.0, 10000000.0, WGS84)
+    if 25828 <= epsg <= 25838:  # ETRS89 / UTM 28N-38N
+        zone = epsg - 25800
+        return TMercParams(0.0, zone * 6.0 - 183.0, 0.9996, 500000.0, 0.0, GRS80)
+    if 26901 <= epsg <= 26923:  # NAD83 / UTM 1N-23N
+        zone = epsg - 26900
+        return TMercParams(0.0, zone * 6.0 - 183.0, 0.9996, 500000.0, 0.0, GRS80)
+    if 28348 <= epsg <= 28358:  # GDA94 / MGA 48-58 (southern hemisphere)
+        zone = epsg - 28300
+        return TMercParams(0.0, zone * 6.0 - 183.0, 0.9996, 500000.0, 10000000.0, GRS80)
+    if 7846 <= epsg <= 7859:  # GDA2020 / MGA 46-59
+        zone = epsg - 7800
+        return TMercParams(0.0, zone * 6.0 - 183.0, 0.9996, 500000.0, 10000000.0, GRS80)
+    if 6669 <= epsg <= 6687:  # JGD2011 / Japan Plane Rectangular CS I-XIX
+        lat0, lon0 = _JPRCS_ORIGINS[epsg - 6669]
+        return TMercParams(lat0, lon0, 0.9999, 0.0, 0.0, GRS80)
     return None
 
 
@@ -118,9 +159,13 @@ def _meridian_arc(lat0_rad: float, ellipsoid: Ellipsoid) -> float:
     tau = math.tan(lat0_rad)
     sigma = math.sinh(e * math.atanh(e * tau / math.sqrt(1 + tau * tau)))
     taup = tau * math.sqrt(1 + sigma * sigma) - sigma * math.sqrt(1 + tau * tau)
-    xi = math.atan2(taup, 1.0)
+    # series on the FIXED base angle, exactly like geodetic_to_tmerc's xi_p
+    # accumulation — evaluating on the running xi instead disagrees with the
+    # forward by ~1.4 cm at lat0 38, shifting every absolute northing
+    xi_p = math.atan2(taup, 1.0)
+    xi = xi_p
     for j, a_j in enumerate(alpha, start=1):
-        xi += a_j * math.sin(2 * j * xi)
+        xi += a_j * math.sin(2 * j * xi_p)
     return big_a * xi
 
 
