@@ -30,6 +30,8 @@ def read_class_names(model_path: Path) -> Optional[dict]:
         import torch
 
         ckpt = torch.load(model_path, map_location="cpu", weights_only=False)
+        if isinstance(ckpt, dict) and isinstance(ckpt.get("class_names"), dict):
+            return {int(k): str(v) for k, v in ckpt["class_names"].items()}
         model = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
         names = getattr(model, "names", None)
         if isinstance(names, dict):
@@ -44,6 +46,8 @@ def torch_state_dict(model_path: Path) -> dict:
     import torch
 
     ckpt = torch.load(Path(model_path), map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:  # our own pt export
+        ckpt = ckpt["state_dict"]
     model = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
     if hasattr(model, "float"):
         model = model.float()
@@ -220,6 +224,72 @@ def load_npz(path: Path) -> tuple[dict, dict]:
             elif key.startswith("meta:"):
                 meta[key[len("meta:"):]] = data[key].item()
     return params, meta
+
+
+def _unfold_conv_bn(p: dict, prefix: str, out: dict) -> None:
+    """{'w' HWIO folded, 'b'} -> ultralytics Conv(conv bias-less + BN) keys.
+
+    The fold is not uniquely invertible, so emit the canonical identity-BN
+    form: conv.weight carries the folded weights, BN has mean=0,
+    var=1-eps, gamma=1, beta=b — with ultralytics' eps=1e-3 the BN scale is
+    sqrt((1-eps)+eps)=1 exactly, so torch inference reproduces the folded
+    conv bit-for-bit (up to f32 rounding)."""
+    w = np.transpose(np.asarray(p["w"], np.float32), (3, 2, 0, 1))  # HWIO->OIHW
+    cout = w.shape[0]
+    out[f"{prefix}.conv.weight"] = w
+    out[f"{prefix}.bn.weight"] = np.ones(cout, np.float32)
+    out[f"{prefix}.bn.bias"] = np.asarray(p["b"], np.float32)
+    out[f"{prefix}.bn.running_mean"] = np.zeros(cout, np.float32)
+    out[f"{prefix}.bn.running_var"] = np.full(cout, 1.0 - _BN_EPS, np.float32)
+    out[f"{prefix}.bn.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def _export_c2f(p: dict, prefix: str, out: dict) -> None:
+    _unfold_conv_bn(p["cv1"], f"{prefix}.cv1", out)
+    _unfold_conv_bn(p["cv2"], f"{prefix}.cv2", out)
+    for i, m in enumerate(p["m"]):
+        _unfold_conv_bn(m["cv1"], f"{prefix}.m.{i}.cv1", out)
+        _unfold_conv_bn(m["cv2"], f"{prefix}.m.{i}.cv2", out)
+
+
+def export_ultralytics_state_dict(params: dict, spec) -> dict:
+    """Inverse of convert_ultralytics: JAX parameter tree -> flat
+    ultralytics-layout {name: numpy array} state dict (identity BN). The
+    result round-trips through convert_ultralytics exactly and can be
+    torch.save'd / load_state_dict'ed into an ultralytics DetectionModel of
+    the same variant — the interop path for weights trained with train/
+    (reference exports via ultralytics, train/export.sh)."""
+    from geotrax_tpu.models.yolov8 import backbone_plan
+
+    plan = backbone_plan(spec)
+    layers = params["layers"]
+    out: dict = {}
+    for i, (kind, _args) in plan.items():
+        p = layers[str(i)]
+        prefix = f"model.{i}"
+        if kind == "conv":
+            _unfold_conv_bn(p, prefix, out)
+        elif kind == "c2f":
+            _export_c2f(p, prefix, out)
+        else:  # sppf
+            _unfold_conv_bn(p["cv1"], f"{prefix}.cv1", out)
+            _unfold_conv_bn(p["cv2"], f"{prefix}.cv2", out)
+    head = layers["22"]
+    for branch in ("cv2", "cv3"):
+        for k in range(3):
+            stack = head[branch][k]
+            _unfold_conv_bn(stack[0], f"model.22.{branch}.{k}.0", out)
+            _unfold_conv_bn(stack[1], f"model.22.{branch}.{k}.1", out)
+            w = np.transpose(np.asarray(stack[2]["w"], np.float32), (3, 2, 0, 1))
+            out[f"model.22.{branch}.{k}.2.weight"] = w
+            out[f"model.22.{branch}.{k}.2.bias"] = np.asarray(
+                stack[2]["b"], np.float32
+            )
+    # ultralytics' DFL expectation conv (frozen arange weights)
+    out["model.22.dfl.conv.weight"] = np.arange(
+        spec.reg_max, dtype=np.float32
+    ).reshape(1, spec.reg_max, 1, 1)
+    return out
 
 
 # ---------------------------------------------------------------------------

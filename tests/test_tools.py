@@ -534,3 +534,35 @@ def test_annotate_frames_workflow(tmp_path):
                  "--overwrite", "-t", "0=1.0", "1=1.0", "2=1.0", "3=1.0")
     assert r.returncode == 0, r.stderr
     assert (labels / "f1.txt").read_text().strip() == ""
+
+
+def test_export_model_pt_roundtrip(tmp_path):
+    """--format pt writes an ultralytics-layout state-dict .pt that loads
+    straight back through our converter with an IDENTICAL forward — the
+    interop path for weights trained here and served on the reference stack."""
+    import jax
+    import jax.numpy as jnp
+
+    from geotrax_tpu.models import yolov8
+    from geotrax_tpu.models.convert import load_model, save_npz
+
+    spec = yolov8.ModelSpec(variant="n", nc=4)
+    params = jax.device_get(yolov8.init_params(jax.random.PRNGKey(3), spec))
+    save_npz(tmp_path / "trained.npz", params,
+             class_names={0: "car", 1: "bus", 2: "truck", 3: "motorcycle"},
+             variant="n", nc=4)
+
+    r = run_tool("export_model.py", tmp_path / "trained.npz",
+                 "-o", tmp_path / "weights.pt", "--format", "pt")
+    assert r.returncode == 0, r.stderr
+    assert "ultralytics-layout" in r.stdout
+
+    params2, spec2, names2 = load_model(tmp_path / "weights.pt")
+    assert spec2.variant == "n" and spec2.nc == 4
+    assert names2 == {0: "car", 1: "bus", 2: "truck", 3: "motorcycle"}
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)),
+                    jnp.float32)
+    b1, p1 = yolov8.forward(params, x, spec)
+    b2, p2 = yolov8.forward(params2, x, spec2)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)

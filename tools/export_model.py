@@ -6,8 +6,14 @@ runtime, so export means torch .pt (ultralytics layout) -> native .npz with
 folded BN, optional bf16 weight casting, and an optional AOT compile check
 at the serving resolution.
 
+The reverse direction also works: --format pt writes an ultralytics-layout
+torch state-dict .pt (identity BN, exact round-trip through our converter)
+so weights trained with train/ can be loaded into the reference stack via
+DetectionModel.load_state_dict.
+
 Usage:
   python tools/export_model.py weights.pt -o weights.npz [--bf16] [--check 1920]
+  python tools/export_model.py trained.npz -o weights.pt --format pt
 """
 
 from __future__ import annotations
@@ -27,14 +33,37 @@ def main() -> int:
     parser.add_argument("--bf16", action="store_true", help="Store weights as bfloat16")
     parser.add_argument("--check", type=int, default=None,
                         help="Compile-check the forward at this imgsz")
+    parser.add_argument("--format", choices=("npz", "pt"), default=None,
+                        help="Output format (default: from --out suffix)")
     args = parser.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from geotrax_tpu.models.convert import load_model, read_class_names, save_npz
+    from geotrax_tpu.models.convert import (
+        export_ultralytics_state_dict,
+        load_model,
+        read_class_names,
+        save_npz,
+    )
 
     params, spec, names = load_model(args.checkpoint)
+    fmt = args.format or ("pt" if args.out.suffix == ".pt" else "npz")
+    if fmt == "pt":
+        import torch
+
+        sd = export_ultralytics_state_dict(
+            jax.tree.map(lambda a: np.asarray(a, np.float32), params), spec
+        )
+        torch.save(
+            {"state_dict": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+             "class_names": names,
+             "variant": spec.variant, "nc": spec.nc},
+            args.out,
+        )
+        print(f"yolov8{spec.variant} nc={spec.nc} -> ultralytics-layout "
+              f"state-dict {args.out} ({len(sd)} tensors)")
+        return 0
     if args.bf16:
         import ml_dtypes  # noqa: F401 — numpy bfloat16 support ships with jax
 
