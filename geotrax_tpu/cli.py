@@ -46,9 +46,23 @@ def build_usage() -> str:
     return "\n".join(lines)
 
 
+def _honor_jax_platforms() -> None:
+    """Honor JAX_PLATFORMS from the environment (reference parity: the torch
+    stack picks CPU/GPU from the environment). Some TPU images re-pin jax to
+    their plugin via sitecustomize after env evaluation, so a user exporting
+    JAX_PLATFORMS=cpu (CI, machines without an accelerator) would silently
+    land on the accelerator path; jax.config.update is the override that
+    sticks. Tools apply the same guard (tools/_common.py)."""
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
-
     if not argv or argv[0] in ("-h", "--help"):
         print(build_usage())
         return 0
@@ -63,6 +77,7 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     module_path, _ = COMMANDS[command]
+    _honor_jax_platforms()   # before the stage module first imports jax
     module = importlib.import_module(module_path)
     # Stage modules own their argparse; present them a clean argv.
     sys.argv = [f"{PROG} {command}"] + argv[1:]
