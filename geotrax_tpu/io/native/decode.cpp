@@ -74,8 +74,18 @@ void* gtx_open(const char* path) {
   AVStream* st = d->fmt->streams[d->stream_index];
   d->codec = avcodec_alloc_context3(codec);
   if (!d->codec ||
-      avcodec_parameters_to_context(d->codec, st->codecpar) < 0 ||
-      avcodec_open2(d->codec, codec, nullptr) < 0) {
+      avcodec_parameters_to_context(d->codec, st->codecpar) < 0) {
+    destroy(d);
+    return nullptr;
+  }
+  // Host decode is the end-to-end bottleneck on 4K sources (the device
+  // pipeline outruns a single-threaded decoder several times over): enable
+  // libavcodec auto threading (one worker per core). Frame threading adds
+  // pipeline delay but not reordering — output frames and indices are
+  // bit-identical, and the drain path already handles the tail.
+  d->codec->thread_count = 0;
+  d->codec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
+  if (avcodec_open2(d->codec, codec, nullptr) < 0) {
     destroy(d);
     return nullptr;
   }

@@ -96,6 +96,10 @@ void* gtx_enc_open(const char* path, int w, int h, double fps, long bitrate) {
   e->codec->pix_fmt = AV_PIX_FMT_YUV420P;
   e->codec->bit_rate = bitrate > 0 ? bitrate : (int64_t)w * h * 4;
   e->codec->gop_size = 12;
+  // Deliberately single-threaded: slice-threaded mpeg4 encoding inserts
+  // resync markers, so the written bitstream would vary with the host's
+  // core count. Visualization outputs stay byte-reproducible across
+  // machines; the decoder (decode.cpp) is where threading pays off.
   if (e->fmt->oformat->flags & AVFMT_GLOBALHEADER)
     e->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
   if (avcodec_open2(e->codec, codec, nullptr) < 0) {
