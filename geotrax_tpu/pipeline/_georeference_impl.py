@@ -257,23 +257,17 @@ def compute_acceleration(speed, fps: float) -> np.ndarray:
 
 
 def interpolate_missing_points(frames, x, y) -> tuple:
-    """Densify frame gaps linearly; returns (x_dense, y_dense, present_idx)."""
-    xs, ys, present = [x[0]], [y[0]], [1]
-    prev = frames[0]
-    for i in range(1, len(frames)):
-        gap = frames[i] - prev
-        if gap > 1:
-            dx = (x[i] - x[i - 1]) / gap
-            dy = (y[i] - y[i - 1]) / gap
-            for step in range(1, gap):
-                xs.append(x[i - 1] + step * dx)
-                ys.append(y[i - 1] + step * dy)
-                present.append(0)
-        xs.append(x[i])
-        ys.append(y[i])
-        present.append(1)
-        prev = frames[i]
-    return np.asarray(xs), np.asarray(ys), np.nonzero(present)[0]
+    """Densify frame gaps linearly; returns (x_dense, y_dense, present_idx).
+
+    Vectorized: one np.interp per axis over the dense frame range (the
+    per-gap Python append loop was O(dense_length) interpreter work per
+    track, the kinematics hot spot at campaign scale)."""
+    frames = np.asarray(frames, dtype=np.int64)
+    dense = np.arange(frames[0], frames[-1] + 1)
+    x_dense = np.interp(dense, frames, x)
+    y_dense = np.interp(dense, frames, y)
+    present = frames - frames[0]
+    return x_dense, y_dense, present
 
 
 def compute_kinematics(track_ids, frame_num, x_local, y_local, visibility, fps,
