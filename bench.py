@@ -228,24 +228,41 @@ def bench_e2e(n_frames: int = 48) -> dict:
     cfg_path.write_text(yaml.dump(cfg))
 
     # ---- extract (host decode + fused device pipeline)
-    t0 = time.perf_counter()
+    # Cold pass first: on a fresh machine the fused 4K program costs minutes
+    # of XLA compile, which is a one-time cost per deployment, not throughput
+    # (the persistent cache above absorbs it for every later video). Report
+    # the cold wall separately; the e2e fps is the WARM pass — the number a
+    # campaign's 2nd..Nth video sees (reference scope: 20 intersections x
+    # many clips, /root/reference/README.md:378-384).
     args = argparse.Namespace(
         source=source, cfg=str(cfg_path), output_folder=None, log_path=None,
         verbose=False, model=[str(model_path)], class_names=None, conf=None,
         classes=None, cut_frame_left=None, cut_frame_right=None,
         interpolate=False, show=None,
     )
-    _extract_impl.run_extraction(args, logger)
-    t_extract = time.perf_counter() - t0
-
-    # ---- georeference (registration + full coordinate/kinematics chain)
-    t0 = time.perf_counter()
     geo_args = argparse.Namespace(
         source=source, cfg=str(cfg_path), output_folder=None, log_path=None,
         verbose=False, ortho_folder=ortho_dir, geo_source=None, ref_frame=None,
         no_master=True, master_folder=None, recompute=None,
         segmentation_folder=seg_dir,
     )
+
+    t0 = time.perf_counter()
+    _extract_impl.run_extraction(args, logger)
+    t_extract_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _georeference_impl.run_georeferencing(geo_args, logger)
+    t_georef_cold = time.perf_counter() - t0
+
+    # warm pass: same stages, compiles served from the in-process/persistent
+    # cache; overwrite the stage outputs so the accuracy checks below read
+    # the timed run's artifacts
+    shutil.rmtree(work / "results", ignore_errors=True)
+    (work / "U_bench.yaml").unlink(missing_ok=True)
+    t0 = time.perf_counter()
+    _extract_impl.run_extraction(args, logger)
+    t_extract = time.perf_counter() - t0
+    t0 = time.perf_counter()
     _georeference_impl.run_georeferencing(geo_args, logger)
     t_georef = time.perf_counter() - t0
 
@@ -283,6 +300,8 @@ def bench_e2e(n_frames: int = 48) -> dict:
             "decode_only": round(t_decode, 2),
             "extract_decode_detect_track_stab": round(t_extract, 2),
             "georeference": round(t_georef, 2),
+            "cold_extract_incl_compile": round(t_extract_cold, 2),
+            "cold_georeference_incl_compile": round(t_georef_cold, 2),
         },
         "registration_rmse_px": round(rmse, 3),
         "georef_csv_rows": csv_rows,
