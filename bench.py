@@ -64,7 +64,17 @@ def make_detector():
     from geotrax_tpu.models.detector import Detector
 
     path = Path(tempfile.gettempdir()) / "gtx_bench_yolov8s.npz"
-    if not path.exists():
+    fresh = True
+    if path.exists():
+        # existence alone can't be trusted: a stale npz from an older schema
+        # (or another user's file) would silently bench different weights
+        try:
+            with np.load(path, allow_pickle=False) as z:
+                fresh = not (str(z["meta:variant"]) == "s"
+                             and int(z["meta:nc"]) == 4)
+        except Exception:
+            fresh = True
+    if fresh:
         spec = yolov8.ModelSpec(variant="s", nc=4)
         params = yolov8.init_params(jax.random.PRNGKey(0), spec)
         save_npz(path, jax.device_get(params),
@@ -312,15 +322,7 @@ def main() -> None:
     # structured scene (8-px blocks + vehicle-like bright rectangles) so the
     # feature/matching/tracker stages run at realistic occupancy instead of
     # the trivial zero-match regime white noise produces
-    rng = np.random.default_rng(42)
-    scene = np.kron(
-        rng.integers(30, 220, (SRC_H // 8, SRC_W // 8, 3)),
-        np.ones((8, 8, 1)),
-    ).astype(np.uint8)
-    for _ in range(200):  # vehicle-scale bright/dark boxes
-        y = int(rng.integers(0, SRC_H - 60))
-        x = int(rng.integers(0, SRC_W - 120))
-        scene[y:y + 50, x:x + 100] = rng.integers(0, 255, (3,))
+    scene = _bench_scene(np.random.default_rng(42))
     base = jnp.asarray(np.stack([scene] * CHUNK))
     jax.block_until_ready(base)
 

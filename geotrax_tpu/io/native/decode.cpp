@@ -194,12 +194,15 @@ long gtx_keyframe_indices(const char* path, long* out, long max_out) {
   long arrival = 0;
   while (av_read_frame(fmt, pkt) >= 0) {
     if (pkt->stream_index == stream_index) {
-      int64_t ts = pkt->pts != AV_NOPTS_VALUE ? pkt->pts : pkt->dts;
-      if (ts == AV_NOPTS_VALUE) {
-        have_ts = false;
-        ts = arrival;  // degenerate stream: keep packet order
-      }
-      stamps.emplace_back(ts, (pkt->flags & AV_PKT_FLAG_KEY) ? 1 : 0);
+      // Sort by pts ONLY when every packet carries one: mixing dts (decode
+      // order) into a pts (display order) list can rank a B-frame's dts
+      // ahead of the preceding keyframe's pts and shift indices. If any
+      // packet lacks pts, fall back to arrival order for the whole stream
+      // (exact for streams without B-frames, e.g. DJI sources).
+      int64_t ts = pkt->pts;
+      if (ts == AV_NOPTS_VALUE) have_ts = false;
+      stamps.emplace_back(have_ts ? ts : arrival,
+                          (pkt->flags & AV_PKT_FLAG_KEY) ? 1 : 0);
       ++arrival;
     }
     av_packet_unref(pkt);

@@ -190,8 +190,13 @@ def open_tiled_tiff(path) -> TiledTiff:
             if ftype in _TYPES:
                 tags[tag] = _read_values(fh, bo, ftype, int(count), payload, big)
 
-    if _TAG_TILE_WIDTH not in tags or _TAG_TILE_OFFSETS not in tags:
-        raise ValueError("TIFF is not tiled")
+    # every tag read below must be present (a tag stored with a field type
+    # outside _TYPES was dropped above) — keep the error a ValueError so
+    # callers can fall back to a whole-image load
+    required = (_TAG_TILE_WIDTH, _TAG_TILE_OFFSETS, _TAG_TILE_LENGTH,
+                _TAG_TILE_COUNTS, _TAG_WIDTH, _TAG_LENGTH)
+    if any(t not in tags for t in required):
+        raise ValueError("TIFF is not tiled (or required tags unreadable)")
     bits = tags.get(_TAG_BITS, [8])
     if any(b != 8 for b in bits):
         raise ValueError("only 8-bit samples supported")

@@ -52,6 +52,12 @@ def rgb_to_gray(image: jnp.ndarray) -> jnp.ndarray:
 
 
 def downsample(gray: jnp.ndarray, ratio: float) -> jnp.ndarray:
+    """Canonical behavior at ratio 0.5 with even dims is the 2x2 box mean
+    (== cv2 INTER_LINEAR 0.5x exactly); other ratios / odd dims fall back to
+    jax.image.resize's triangle-weighted linear kernel, whose numerics
+    differ slightly. Downstream only consumes this for keypoint detection,
+    where either kernel is fine — but the two paths are NOT interchangeable
+    per-video: a 1920x1080 and a 1921x1081 video take different paths."""
     if ratio >= 1.0:
         return gray
     h, w = gray.shape

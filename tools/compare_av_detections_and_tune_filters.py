@@ -194,12 +194,14 @@ def smoothed_speed(ext: pd.DataFrame, param: float, filter_type: str,
     """Speed [km/h] from raw Local_X/Y with one smoothing setting (kernel =
     gaussian sigma or savgol window, matching cfg georef.filtering)."""
     raw = compute_speed(ext["Local_X"].to_numpy(), ext["Local_Y"].to_numpy(), fps)
-    smooth = apply_filter(raw, max(int(round(param)), 1), filter_type)
     if filter_type == "gaussian":
-        # fractional sigmas: apply_filter quantizes, refine directly
-        from scipy.ndimage import gaussian_filter1d
+        # fractional sigmas: apply_filter quantizes, smooth directly (the
+        # first-party kernel matches scipy's reflect/truncate=3.0 semantics)
+        from geotrax_tpu.ops.filters import gaussian_filter1d_np
 
-        smooth = gaussian_filter1d(raw, param, mode="reflect", truncate=3.0)
+        smooth = gaussian_filter1d_np(raw, param)
+    else:
+        smooth = apply_filter(raw, max(int(round(param)), 1), filter_type)
     return np.insert(smooth * 3.6, 0, np.nan)
 
 

@@ -142,7 +142,6 @@ def process_ortho(args, logger) -> int:
     half = args.crop_size // 2
     failed = 0
     for location, (p_x, p_y) in centers.items():
-        np.savetxt(out / f"{location}_center.txt", np.array([p_x, p_y]))
         try:
             cropped = mosaic.crop(p_y - half, p_x - half,
                                   args.crop_size, args.crop_size)
@@ -150,6 +149,9 @@ def process_ortho(args, logger) -> int:
             logger.error(f"{location}: {exc}")
             failed += 1
             continue
+        # only after a successful crop: a dangling <loc>_center.txt without
+        # its .png would feed the georeference stage a half-built location
+        np.savetxt(out / f"{location}_center.txt", np.array([p_x, p_y]))
         resized = _downscale(cropped, args.scale_factor)
         from PIL import Image
 

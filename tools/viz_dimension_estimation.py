@@ -84,6 +84,12 @@ def resolve_vehicle_id(tracks: np.ndarray, args, logger) -> int:
                 )
             except ValueError:
                 continue
+            except EOFError:  # non-interactive stdin: list IDs and exit clean
+                logger.critical(
+                    f"No --id given and stdin is not interactive. "
+                    f"Available IDs: {unique_ids.tolist()}"
+                )
+                sys.exit(1)
             if vehicle_id not in unique_ids:
                 logger.warning(
                     f"ID {vehicle_id} not found. Available: {unique_ids.tolist()}"
