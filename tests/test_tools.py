@@ -86,6 +86,39 @@ def test_subset_orthophoto_geotiff_mode(tmp_path):
     np.testing.assert_array_equal(out, expected)
 
 
+def test_tiff_unsupported_layouts_raise_valueerror(tmp_path):
+    """Callers (subset_orthophoto's mosaic reader) catch ValueError to fall
+    back to a whole-image load — a missing required tag must not leak
+    KeyError (even when the tile-width/offsets guard tags are present)."""
+    import struct
+
+    from PIL import Image
+
+    from geotrax_tpu.io.tiff_tiled import open_tiled_tiff, write_tiled_tiff
+
+    # strip-based TIFF (PIL default): no tile tags at all
+    Image.new("RGB", (64, 64)).save(tmp_path / "strips.tif")
+    with pytest.raises(ValueError):
+        open_tiled_tiff(tmp_path / "strips.tif")
+
+    # tiled TIFF with TileByteCounts(325) excised: retag it to an unknown id
+    write_tiled_tiff(tmp_path / "t.tif",
+                     np.zeros((64, 64, 3), np.uint8), tile=32)
+    raw = bytearray((tmp_path / "t.tif").read_bytes())
+    ifd = struct.unpack("<I", raw[4:8])[0]
+    n = struct.unpack("<H", raw[ifd:ifd + 2])[0]
+    hit = 0
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if struct.unpack("<H", raw[e:e + 2])[0] == 325:
+            raw[e:e + 2] = struct.pack("<H", 60000)
+            hit += 1
+    assert hit == 1
+    (tmp_path / "t_nocounts.tif").write_bytes(raw)
+    with pytest.raises(ValueError):
+        open_tiled_tiff(tmp_path / "t_nocounts.tif")
+
+
 def test_viz_segmentations(tmp_path):
     from PIL import Image
 
@@ -381,6 +414,15 @@ def test_sample_frames_balanced_and_filters(tmp_path):
     assert r.returncode == 0, r.stderr
     idxs = sorted(int(p.stem.split("_")[-1]) for p in out3.glob("*.png"))
     assert idxs == list(range(10, 15))  # alt 150 AND iso 100 rows only
+
+    # shorthand --min-alt falls back to the companion .csv when the clip has
+    # no .srt (cut clips carry only the .csv log the cut tool wrote)
+    out6 = tmp_path / "frames6"
+    r = run_tool("sample_frames.py", data / "A" / "0_merged.mp4", "-o", out6,
+                 "-n", "99", "--min-alt", "160")
+    assert r.returncode == 0, r.stderr
+    idxs = sorted(int(p.stem.split("_")[-1]) for p in out6.glob("*.png"))
+    assert idxs == list(range(20, 30))  # alt 200 rows only
 
     # a filter excludes videos with no companion log
     r = run_tool("sample_frames.py", data, "-o", tmp_path / "f4", "-n", "99",
