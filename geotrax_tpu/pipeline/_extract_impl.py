@@ -99,25 +99,22 @@ def track_video(args, config: dict, logger) -> tuple:
     cut_right = args.cut_frame_right
     reader = open_reader(args.source, cut_left, cut_right, config)
 
-    fused_ok = (
-        hasattr(detector, "batch_trace")
-        and not getattr(detector, "is_rtdetr", False)
-    )
-    if fused_ok and stabilize_on:
-        from geotrax_tpu.stabilize import Stabilizer
-
-        fused_ok = Stabilizer(**config.get("stabilo", {})).n_levels == 1
-    if fused_ok:
-        return _track_video_fused(
-            args, config, logger, reader, detector, tracker_cfg, tracker_state,
-            tracker_step, stabilize_on, cut_left, reid_params=reid_params,
-        )
-
     stabilizer = None
     if stabilize_on:
         from geotrax_tpu.stabilize import Stabilizer
 
         stabilizer = Stabilizer(**config.get("stabilo", {}))
+
+    fused_ok = (
+        hasattr(detector, "batch_trace")
+        and not getattr(detector, "is_rtdetr", False)
+        and (stabilizer is None or stabilizer.n_levels == 1)
+    )
+    if fused_ok:
+        return _track_video_fused(
+            args, config, logger, reader, detector, tracker_cfg, tracker_state,
+            tracker_step, stabilize_on, cut_left, reid_params=reid_params,
+        )
 
     rows = []
     transforms = []

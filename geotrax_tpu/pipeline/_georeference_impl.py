@@ -83,12 +83,17 @@ def get_timestamps(source: Path, frame_num: np.ndarray, logger) -> np.ndarray:
         logger.warning(f"No flight-log timestamps at '{path}'; frame numbers used instead.")
         return np.array([])
     table = pd.read_csv(path, index_col="frame")
+    if len(table) == 0:
+        logger.warning(f"Flight log '{path}' has no rows; frame numbers used instead.")
+        return np.array([])
     if table.index[0] != 0:
         logger.warning("Flight log does not start at frame 0; rebasing indices.")
         table.index = table.index - table.index[0]
     undefined = "0000-00-00 00:00:00.000"
-    lookup = table["timestamp"]
-    out = [lookup.loc[f] if f in table.index else undefined for f in frame_num]
+    # first occurrence wins on duplicated frame indices (a dup would make
+    # .loc return a Series and produce a ragged Timestamp column)
+    lookup = table["timestamp"][~table.index.duplicated(keep="first")]
+    out = [lookup.loc[f] if f in lookup.index else undefined for f in frame_num]
     logger.info(f"Loaded timestamps from '{path}'.")
     return np.asarray(out)
 
@@ -314,9 +319,9 @@ def assign_road_section_lane(ortho_x, ortho_y, segmentation: pd.DataFrame) -> tu
 
     from geotrax_tpu.ops.polygon import assign_first_polygon
 
-    cols = list(segmentation.columns[:10])
     seg = segmentation.copy()
-    seg.columns = ["section", "lane", "tlx", "tly", "blx", "bly", "brx", "bry", "trx", "try"] + cols[10:]
+    extra = list(segmentation.columns[10:])  # pass through any extra columns
+    seg.columns = ["section", "lane", "tlx", "tly", "blx", "bly", "brx", "bry", "trx", "try"] + extra
     polys = np.stack([
         seg[["tlx", "tly"]].to_numpy(),
         seg[["blx", "bly"]].to_numpy(),

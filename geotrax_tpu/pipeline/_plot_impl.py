@@ -150,10 +150,14 @@ def plot_trajectories_xy(datasets, x_col, y_col, title, xlabel, ylabel,
     colors = PlotColors(cfg.get("colors"))
     if background is not None:
         ax.imshow(background)
+    plotted = 0
     for src_idx, (label, df) in enumerate(datasets):
         if x_col not in df.columns:
-            plt.close(fig)
-            return
+            # skip just this member (e.g. a pixel-only .txt in an aggregated
+            # group) — the others still draw; only an all-miss aborts
+            logger.info(f"'{label}': no {x_col} column; omitted from '{title}'.")
+            continue
+        plotted += 1
         color = colors(src_idx) if len(datasets) > 1 else None
         for _, track in df.groupby("Vehicle_ID"):
             if points:
@@ -162,6 +166,9 @@ def plot_trajectories_xy(datasets, x_col, y_col, title, xlabel, ylabel,
             else:
                 ax.plot(track[x_col], track[y_col], linewidth=0.7,
                         color=color, alpha=0.8)
+    if plotted == 0:
+        plt.close(fig)
+        return
     ax.set_xlabel(xlabel)
     ax.set_ylabel(ylabel)
     ax.set_title(title.replace("_", " "))

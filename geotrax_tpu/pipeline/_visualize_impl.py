@@ -281,7 +281,8 @@ def read_tracks_oriented(tracks, tracks_path, class_names, args, logger) -> tupl
     length = tracks[12].where(~is_fallback, fb_l)
     width = tracks[13].where(~is_fallback, fb_w)
 
-    eps = getattr(args, "edge_clip_margin", 3) or 3
+    eps = getattr(args, "edge_clip_margin", None)
+    eps = 3 if eps is None else eps  # 0 is a legal value (reference: [0, inf))
     source = getattr(args, "source", None)
     w_frame, h_frame = get_video_dimensions(source) if source is not None else (np.inf, np.inf)
     xc, yc, w, h = tracks[2], tracks[3], tracks[4], tracks[5]
@@ -296,7 +297,9 @@ def read_tracks_oriented(tracks, tracks_path, class_names, args, logger) -> tupl
         8: headings, 9: is_dashed.astype(bool),
         10: tracks[8], 11: tracks[9], 12: on_border.astype(bool),
     })
-    oriented[[10, 11]] = smooth_clip_dims(oriented, getattr(args, "edge_clip_smoothing", 5) or 5)
+    win = getattr(args, "edge_clip_smoothing", None)
+    win = 5 if win is None else win  # 0 disables smoothing (reference contract)
+    oriented[[10, 11]] = smooth_clip_dims(oriented, win)
 
     if len(class_names) < oriented[6].max() + 1:
         logger.error(f"At least {int(oriented[6].max()) + 1} class names required.")

@@ -41,6 +41,7 @@ def _group_files(csv_files, logger):
             date = path.parents[3].name
             drone_id = path.parents[2].name
             session = path.parents[1].name
+            int(drone_id[1:])  # enforce D<number> here, not in the post-loop sort
             location_id = determine_location_id(path, logger)
             groups.setdefault((date, location_id, session), []).append((path, drone_id))
         except Exception as exc:  # noqa: BLE001 — malformed layout: skip, keep batch alive

@@ -65,12 +65,13 @@ def process_input(args: argparse.Namespace, logger: logging.Logger) -> None:
                 if f.is_file() and f.suffix.lower() in VIDEO_FORMATS
             ]
             files = sorted(filter_files_to_process(candidates, args, logger))
+            extracted: set = set()
             if getattr(args, "parallel_videos", 1) > 1 and not args.dry_run:
-                run_parallel_extraction(files, args, logger, out_cfg)
+                extracted = run_parallel_extraction(files, args, logger, out_cfg)
             pbar = tqdm(files, unit="video")
             for file in pbar:
                 pbar.set_description(f"Processing: '{file}'")
-                process_file(file, args, logger, out_cfg)
+                process_file(file, args, logger, out_cfg, extracted=extracted)
     except KeyboardInterrupt:
         logger.error("Batch processing interrupted by user.")
         return
@@ -82,18 +83,21 @@ def process_input(args: argparse.Namespace, logger: logging.Logger) -> None:
         run_plotting(input_path, args, logger)
 
 
-def run_parallel_extraction(files: list, args, logger, out_cfg: dict) -> None:
+def run_parallel_extraction(files: list, args, logger, out_cfg: dict) -> set:
     """Group videos needing extraction by resolution and run each group
-    through the lockstep multi-video extractor; downstream stages then find
-    the outputs and skip re-extraction."""
+    through the lockstep multi-video extractor. Returns the set of files it
+    extracted so the sequential per-file pass skips them — without this,
+    --overwrite would re-extract every file a second time (should_process_file
+    answers True again once outputs exist and overwrite is set)."""
+    done: set = set()
     if args.viz_only or args.geo_only or args.plot_only:
-        return
+        return done
     pending = [
         f for f in files
         if should_process_file(f, args, logger, ACTION_EXTRACT, out_cfg)
     ]
     if len(pending) < 2:
-        return
+        return done
     from geotrax_tpu.io.video import probe_video
     from geotrax_tpu.parallel.extract_batch import extract_videos_batch
     from geotrax_tpu.utils.config_utils import load_config_all
@@ -115,9 +119,11 @@ def run_parallel_extraction(files: list, args, logger, out_cfg: dict) -> None:
             )
             try:
                 extract_videos_batch(group, args, config, logger)
+                done.update(group)
             except Exception as exc:  # noqa: BLE001 — fall back to sequential
                 logger.error(f"Parallel extraction failed ({exc}); falling back to sequential.")
-                return
+                return done
+    return done
 
 
 def run_plotting(path: Path, args: argparse.Namespace, logger: logging.Logger) -> None:
@@ -144,15 +150,25 @@ def run_plotting(path: Path, args: argparse.Namespace, logger: logging.Logger) -
     generate_plots(plot_args, logger)
 
 
-def process_file(file: Path, args, logger, out_cfg: dict | None = None) -> None:
-    """All requested stages for one video; exceptions are isolated per file."""
+def process_file(file: Path, args, logger, out_cfg: dict | None = None,
+                 extracted: set | None = None) -> None:
+    """All requested stages for one video; exceptions are isolated per file.
+    ``extracted`` = files the parallel pre-pass already extracted this run.
+
+    Deliberate divergence from the reference: --geo-only suppresses the
+    visualization stage here, matching its documented contract ("only
+    (re-)run georeferencing", reference batch_process.py:37) — the
+    reference's own stage gate (batch_process.py:300) omits the geo_only
+    check and renders videos on a fresh tree."""
     try:
         logger.info(f"Processing: '{file}'")
-        if not args.viz_only and not args.geo_only and not args.plot_only:
+        if (not args.viz_only and not args.geo_only and not args.plot_only
+                and file not in (extracted or ())):
             process_step(file, args, logger, ACTION_EXTRACT, detect_track_stabilize, out_cfg)
         if not args.viz_only and not args.no_geo and not args.plot_only:
             process_step(file, args, logger, ACTION_GEOREF, georeference, out_cfg)
-        if (args.save is not False or args.show is not False) and not args.plot_only:
+        if ((args.save is not False or args.show is not False)
+                and not args.plot_only and not args.geo_only):
             process_step(file, args, logger, ACTION_VISUALIZE, visualize_results, out_cfg)
         if (
             (args.plot_save is not False or args.plot_show is not False)

@@ -69,7 +69,9 @@ def embed_boxes(frames_u8: jnp.ndarray, boxes_xywh: jnp.ndarray,
     c, h, w = frames_u8.shape[:3]
     h2, w2 = h // 2, w // 2
     if pooled is None:
-        f = frames_u8.astype(jnp.float32)
+        # trim to even dims first: odd H/W make the four strided slices
+        # differ in shape (crash at trace time on e.g. 1081-row video)
+        f = frames_u8[:, :h2 * 2, :w2 * 2].astype(jnp.float32)
         pooled = 0.25 * (f[:, 0::2, 0::2] + f[:, 0::2, 1::2]
                          + f[:, 1::2, 0::2] + f[:, 1::2, 1::2])  # (C,H2,W2,3)
     else:

@@ -115,7 +115,40 @@ def test_directory_scan(tmp_path, monkeypatch):
     v1.write_bytes(b"x")
     v2.write_bytes(b"x")
     seen = []
-    monkeypatch.setattr(batch, "process_file", lambda f, a, lg, oc=None: seen.append(f))
+    monkeypatch.setattr(batch, "process_file",
+                        lambda f, a, lg, oc=None, **kw: seen.append(f))
     args = make_args(input=tmp_path, plot_save=False, plot_show=False)
     batch.process_input(args, logger)
     assert seen == [v1]
+
+
+def test_geo_only_suppresses_visualization(tmp_path, monkeypatch):
+    """--geo-only means ONLY georeferencing (its documented contract): the
+    visualization stage must not run even with config save on."""
+    video = tmp_path / "v.mp4"
+    video.write_bytes(b"x")
+    (tmp_path / "results").mkdir()
+    (tmp_path / "results" / "v.txt").write_text("1,1,5,5,4,4,5,5,4,4,0,0.9,5,3\n")
+    calls = []
+    monkeypatch.setattr(batch, "detect_track_stabilize", lambda a, lg: calls.append("extract"))
+    monkeypatch.setattr(batch, "georeference", lambda a, lg: calls.append("geo"))
+    monkeypatch.setattr(batch, "visualize_results", lambda a, lg: calls.append("viz"))
+    args = make_args(input=video, geo_only=True, save=None, show=None)
+    batch.process_input(args, logger)
+    assert calls == ["geo"]
+
+
+def test_parallel_extracted_files_not_reextracted(tmp_path, monkeypatch):
+    """The sequential per-file pass must skip extraction for files the
+    parallel pre-pass handled — with --overwrite the skip-if-exists check
+    answers True again and the work would silently double."""
+    video = tmp_path / "v.mp4"
+    video.write_bytes(b"x")
+    calls = []
+    monkeypatch.setattr(batch, "detect_track_stabilize", lambda a, lg: calls.append("extract"))
+    args = make_args(input=video, no_geo=True, save=False, show=False,
+                     overwrite=True, yes=True)
+    batch.process_file(video, args, logger, None, extracted={video})
+    assert calls == []
+    batch.process_file(video, args, logger, None, extracted=set())
+    assert calls == ["extract"]
