@@ -99,11 +99,6 @@ def boxes_mask(shape: tuple, boxes_xywh, margin_ratio: float = 0.15) -> jnp.ndar
     return inside < 0.5
 
 
-def _shift(img, dx, dy):
-    """Shift with zero padding: out[y, x] = img[y+dy, x+dx]."""
-    return jnp.roll(img, shift=(-dy, -dx), axis=(0, 1))
-
-
 RADIUS_FAST = 3
 
 
@@ -202,13 +197,12 @@ def fast_detect(gray: jnp.ndarray, max_features: int, threshold: float = 20.0,
     )
     score = jnp.where(score >= neighborhood, score, 0.0)
 
-    if jax.devices()[0].platform in ("tpu", "axon"):
-        # approximate top-k (recall ~0.95 among equal-score tails) is ~10x
-        # faster than the full 2M-element sort; feature selection tolerates
-        # swapping the weakest corners for near-equals
-        top_scores, flat_idx = jax.lax.approx_max_k(score.reshape(-1), max_features)
-    else:
-        top_scores, flat_idx = jax.lax.top_k(score.reshape(-1), max_features)
+    from geotrax_tpu.ops.topk import approx_top_k
+
+    # approximate top-k (recall ~0.95 among equal-score tails) is ~10x
+    # faster than the full 2M-element sort; feature selection tolerates
+    # swapping the weakest corners for near-equals
+    top_scores, flat_idx = approx_top_k(score.reshape(-1), max_features)
     kp_y = (flat_idx // w).astype(jnp.float32)
     kp_x = (flat_idx % w).astype(jnp.float32)
     valid = top_scores > 0.0
@@ -424,7 +418,7 @@ def detect_and_describe_pyramid(
     per_level = max(max_features // n_levels, 32)
     all_xy, all_score, all_angle, all_valid, all_desc = [], [], [], [], []
     current = gray
-    level_scale = 1.0
+    h0, w0 = gray.shape
     for level in range(n_levels):
         level_mask = None
         if mask is not None:
@@ -436,7 +430,14 @@ def detect_and_describe_pyramid(
             )
         kps = fast_detect(current, per_level, threshold=threshold, mask=level_mask)
         desc = describe(current, kps)
-        all_xy.append(kps.xy * level_scale)
+        # Map back to level-0 pixels with the ACTUAL per-axis ratios (int()
+        # truncation makes them drift from the nominal scale^level and differ
+        # between axes) and resize's half-pixel-center convention
+        # ((i+0.5)*ratio-0.5) — same fix as sift.py's octave rescale; a bare
+        # xy*scale^level skews the far corner by >1 px at deep levels.
+        lh, lw = current.shape
+        ratio = jnp.asarray([w0 / lw, h0 / lh], kps.xy.dtype)
+        all_xy.append((kps.xy + 0.5) * ratio - 0.5)
         all_score.append(kps.score)
         all_angle.append(kps.angle)
         all_valid.append(kps.valid)
@@ -446,7 +447,6 @@ def detect_and_describe_pyramid(
             current = jax.image.resize(
                 current, (int(h / scale), int(w / scale)), method="linear"
             )
-            level_scale *= scale
 
     xy = jnp.concatenate(all_xy)
     score = jnp.where(jnp.concatenate(all_valid), jnp.concatenate(all_score), 0.0)

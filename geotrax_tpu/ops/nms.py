@@ -54,21 +54,33 @@ def nms(
     # Fixed-point form of greedy NMS: keep_i = ~exists j<i kept with
     # iou(i,j) > t. Iterating from all-kept converges to the exact greedy
     # solution in as many rounds as the deepest suppression chain — <= 3 on
-    # clustered detections (validated in tests); 16 rounds give a wide
-    # margin. Each round is one fused (N,N) mask+reduce on the VPU instead
-    # of N sequential scan steps (the scan was the single largest cost of
-    # the whole extraction step at N = 4000).
+    # clustered detections (validated in tests), but a bumper-to-bumper
+    # chain of pairwise-overlapping duplicates can be arbitrarily deep, so
+    # iterate to an actual fixed point (unchanged keep vector) instead of a
+    # fixed round count. Each round is one fused (N,N) mask+reduce on the
+    # VPU instead of N sequential scan steps (the scan was the single
+    # largest cost of the whole extraction step at N = 4000); the while_loop
+    # exits after depth+1 rounds, cheaper than the old fixed 16 in the
+    # typical case and exact in every case (n rounds bounds the worst).
     alive = scores_sorted > 0.0
     suppress_mask = jnp.logical_and(
         iou > iou_threshold, positions[:, None] < positions[None, :]
     )
     suppress_mask = jnp.logical_and(suppress_mask, alive[:, None])
 
-    def round_fn(keep, _):
-        suppressed = jnp.any(jnp.logical_and(suppress_mask, keep[:, None]), axis=0)
-        return jnp.logical_and(alive, ~suppressed), None
+    def cond_fn(state):
+        _, changed, rounds = state
+        return jnp.logical_and(changed, rounds < n)
 
-    kept, _ = jax.lax.scan(round_fn, alive, None, length=16)
+    def body_fn(state):
+        keep, _, rounds = state
+        suppressed = jnp.any(jnp.logical_and(suppress_mask, keep[:, None]), axis=0)
+        new_keep = jnp.logical_and(alive, ~suppressed)
+        return new_keep, jnp.any(new_keep != keep), rounds + 1
+
+    kept, _, _ = jax.lax.while_loop(
+        cond_fn, body_fn, (alive, jnp.bool_(True), jnp.int32(0))
+    )
 
     # Compact kept indices into max_det slots, preserving score order.
     kept_rank = jnp.cumsum(kept) - 1
@@ -111,15 +123,14 @@ def postprocess_detections(
     # Candidate pre-selection: NMS cost is O(K^2) in candidates; at 1920^2
     # there are ~43k anchors and the full IoU matrix would be ~7 GB. The
     # score threshold keeps far fewer than 2*max_det in practice (ultralytics
-    # caps candidates the same way), so top-K first, NMS on K. On TPU,
-    # approx_max_k with recall_target=1.0 lowers to the exact PartialReduce
-    # op — faster than the sort-based top_k without the default 0.95-recall
-    # chance of dropping true above-threshold detections.
-    k = min(2 * max_det, boxes_xywh.shape[0])
-    if jax.devices()[0].platform in ("tpu", "axon"):
-        top_scores, top_idx = jax.lax.approx_max_k(scores, k, recall_target=1.0)
-    else:
-        top_scores, top_idx = jax.lax.top_k(scores, k)
+    # caps candidates the same way), so top-K first, NMS on K — floored at
+    # 1024 so a small max_det config (e.g. 300) still considers enough
+    # above-threshold anchors for dense scenes (YOLO emits ~2-4 anchors per
+    # object post-threshold; at the 1000 default the floor is inactive).
+    from geotrax_tpu.ops.topk import exact_top_k
+
+    k = min(max(2 * max_det, 1024), boxes_xywh.shape[0])
+    top_scores, top_idx = exact_top_k(scores, k)
     cand_boxes = boxes_xywh[top_idx]
     cand_classes = classes[top_idx]
 

@@ -34,7 +34,7 @@ TILE_H = 32
 
 
 def _make_kernel(out_w: int):
-    def kernel(thresh_ref, dxs_ref, dys_ref, hbm_ref, out_ref):
+    def kernel(thresh_ref, hbm_ref, out_ref):
         i = pl.program_id(0)  # read outside run_scoped (interpret-mode discharge)
 
         def body(tile, ring_buf, sem):
@@ -144,8 +144,6 @@ def _fast_score_map_impl(gray: jnp.ndarray, threshold: jnp.ndarray,
         grid=(n_bands,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((TILE_H, out_w), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -153,8 +151,6 @@ def _fast_score_map_impl(gray: jnp.ndarray, threshold: jnp.ndarray,
         interpret=interpret,
     )(
         jnp.full((1, 1), threshold, jnp.float32),
-        jnp.asarray([[c[0] for c in CIRCLE]], jnp.int32),
-        jnp.asarray([[c[1] for c in CIRCLE]], jnp.int32),
         padded,
     )
     return score[:h, :w]

@@ -103,11 +103,10 @@ def _extract_patches_impl(img, x0, y0, interpret: bool = False):
     pad_w = (-w) % 128 + 256    # aligned 256-lane window may extend past W
     img_p = jnp.pad(img.astype(jnp.float32), ((0, pad_h), (0, pad_w)))
     hp, wp = img_p.shape
-    n = (k + k_pad) // BLK
 
     out = pl.pallas_call(
         _make_kernel(hp - _WIN_H, wp - _WIN_W),
-        grid=(n,),
+        grid=(n_blocks,),
         in_specs=[
             # whole (n, BLK) coordinate tables in SMEM (per-block slices of
             # int32 arrays hit Mosaic's block-divisibility rules; a few KB

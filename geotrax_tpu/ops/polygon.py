@@ -42,8 +42,6 @@ def assign_first_polygon(points: jnp.ndarray, polygons: jnp.ndarray) -> jnp.ndar
     reference's sjoin-then-first-match lane assignment.
     """
     inside = points_in_polygons(points, polygons)  # (N,M)
-    m = polygons.shape[0]
     first = jnp.argmax(inside, axis=1)
     any_hit = jnp.any(inside, axis=1)
-    del m
     return jnp.where(any_hit, first, -1)

@@ -157,12 +157,10 @@ def _level_features(level_img: jnp.ndarray, budget: int, cell: int = 4,
         score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
     )
     score = jnp.where(score >= neighborhood, score, 0.0)
-    if jax.devices()[0].platform in ("tpu", "axon"):
-        # exact PartialReduce beats the full sort on multi-megapixel levels
-        top, flat = jax.lax.approx_max_k(score.reshape(-1), budget,
-                                         recall_target=1.0)
-    else:
-        top, flat = jax.lax.top_k(score.reshape(-1), budget)
+    from geotrax_tpu.ops.topk import exact_top_k
+
+    # exact PartialReduce beats the full sort on multi-megapixel levels
+    top, flat = exact_top_k(score.reshape(-1), budget)
     kx = (flat % w).astype(jnp.float32)
     ky = (flat // w).astype(jnp.float32)
     valid = top > 1e-6
@@ -281,15 +279,21 @@ def detect_and_describe(
     h, w = gray.shape
     n_levels = n_octaves * scales_per_octave
     r = 2.0 ** (1.0 / scales_per_octave)
-    level_scales = [r ** i for i in range(n_levels)]
+    # decide the usable levels FIRST (min dim >= 64; level 0 always kept so
+    # tiny inputs return features instead of crashing on an empty concat),
+    # then split the budget across only those — otherwise the shares of
+    # skipped deep levels would silently vanish from max_features
+    all_scales = [r ** i for i in range(n_levels)]
+    level_scales = [
+        s for i, s in enumerate(all_scales)
+        if i == 0 or min(int(round(h / s)), int(round(w / s))) >= 64
+    ]
     weights = np.array([1.0 / (s * s) for s in level_scales])
     budgets = np.maximum((max_features * weights / weights.sum()).astype(int), 16)
 
     xs, scores, angles, valids, descs = [], [], [], [], []
     for i, s in enumerate(level_scales):
         lh, lw = int(round(h / s)), int(round(w / s))
-        if min(lh, lw) < 64:
-            break
         level = gray if s == 1.0 else jax.image.resize(
             gray, (lh, lw), method="linear"
         )
@@ -300,7 +304,13 @@ def detect_and_describe(
         # Per-axis rescale: int rounding makes h/lh != w/lw on non-square
         # frames — a shared factor would skew x by several px at the far
         # corner of a large level (inside the 3 px MAGSAC budget).
-        xs.append(xy * jnp.asarray([w / lw, h / lh], xy.dtype))
+        # Half-pixel centers: jax.image.resize('linear') maps level pixel i
+        # to source coordinate (i+0.5)*ratio-0.5 (verified: a 64->16 ramp
+        # reads 5.5/9.5/13.5 at i=1..3, not 4/8/12), so a bare xy*ratio
+        # biases every keypoint by 0.5*(ratio-1) px — ~5 px at the deepest
+        # octave, which alone blows the 3 px registration budget.
+        ratio = jnp.asarray([w / lw, h / lh], xy.dtype)
+        xs.append((xy + 0.5) * ratio - 0.5)
         scores.append(sc)
         angles.append(an)
         valids.append(va)
