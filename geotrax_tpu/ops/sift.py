@@ -118,13 +118,16 @@ def _circular_shift_bins(vals: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("budget", "cell"))
 def _level_features(level_img: jnp.ndarray, budget: int, cell: int = 4,
                     dog_sigma: float = 1.6, edge_thresh: float = 12.0,
-                    row_bounds=None):
+                    row_bounds=None, mask: jnp.ndarray | None = None):
     """Detect + describe on one pyramid level.
 
     Returns (xy_level (K,2), score, angle, valid, desc (K,128)). xy are in
     THIS level's pixel coordinates; the caller rescales to level 0.
     ``row_bounds`` (lo, hi) restricts keypoints to a core row interval —
     the band-streamed path uses it to drop overlap-halo duplicates.
+    ``mask`` (this level's shape, True = usable) zeroes scores BEFORE the
+    top-``budget`` selection so masked-out regions don't consume the
+    feature budget (matching the fast_detect path's semantics).
     """
     h, w = level_img.shape
     g1 = _gaussian_blur(level_img, dog_sigma)
@@ -152,6 +155,8 @@ def _level_features(level_img: jnp.ndarray, budget: int, cell: int = 4,
     if row_bounds is not None:
         lo, hi = row_bounds
         inside = inside & (ys >= lo) & (ys < hi)
+    if mask is not None:
+        inside = inside & mask
     score = jnp.where(inside, score, 0.0)
     neighborhood = jax.lax.reduce_window(
         score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
@@ -216,7 +221,8 @@ BAND_PIXEL_LIMIT = 32_000_000
 BAND_OVERLAP = 32  # blur/descriptor halo (DoG r8 + orientation r7 + grid 7)
 
 
-def _level_features_banded(level_img: jnp.ndarray, budget: int) -> tuple:
+def _level_features_banded(level_img: jnp.ndarray, budget: int,
+                           mask: jnp.ndarray | None = None) -> tuple:
     """Band-streamed _level_features for levels too large to hold the
     orientation planes in HBM: horizontal bands with a BAND_OVERLAP halo run
     sequentially under lax.map (one band's working set live at a time);
@@ -245,16 +251,30 @@ def _level_features_banded(level_img: jnp.ndarray, budget: int) -> tuple:
     ])
     bounds_arr = jnp.asarray(bounds, jnp.int32)          # (nb, 2)
     starts_arr = jnp.asarray(starts, jnp.float32)
+    mask_bands = None
+    if mask is not None:
+        mask_bands = jnp.stack([
+            jax.lax.dynamic_slice(mask, (s0, 0), (band_h, w)) for s0 in starts
+        ])
 
     def one(band_and_meta):
-        band, bnd, s0 = band_and_meta
+        band, bnd, s0, mb = band_and_meta
         xy, sc, an, va, de = _level_features(
-            band, band_budget, row_bounds=(bnd[0], bnd[1])
+            band, band_budget, row_bounds=(bnd[0], bnd[1]), mask=mb
         )
         xy = xy + jnp.stack([jnp.float32(0.0), s0])
         return xy, sc, an, va, de
 
-    xy, sc, an, va, de = jax.lax.map(one, (bands, bounds_arr, starts_arr))
+    if mask_bands is None:
+        def one_nomask(band_and_meta):
+            band, bnd, s0 = band_and_meta
+            return one((band, bnd, s0, None))
+
+        xy, sc, an, va, de = jax.lax.map(
+            one_nomask, (bands, bounds_arr, starts_arr))
+    else:
+        xy, sc, an, va, de = jax.lax.map(
+            one, (bands, bounds_arr, starts_arr, mask_bands))
     xy = xy.reshape(-1, 2)
     sc = sc.reshape(-1)
     an = an.reshape(-1)
@@ -271,6 +291,7 @@ def detect_and_describe(
     max_features: int,
     n_octaves: int = 4,
     scales_per_octave: int = 2,
+    mask: jnp.ndarray | None = None,
 ) -> SiftFeatures:
     """Multi-octave RootSIFT features with a total ``max_features`` budget
     (split across octaves proportional to pixel counts, like OpenCV SIFT's
@@ -297,10 +318,17 @@ def detect_and_describe(
         level = gray if s == 1.0 else jax.image.resize(
             gray, (lh, lw), method="linear"
         )
+        level_mask = None
+        if mask is not None:
+            level_mask = mask if s == 1.0 else jax.image.resize(
+                mask.astype(jnp.float32), (lh, lw), method="nearest"
+            ) > 0.5
         if lh * lw > BAND_PIXEL_LIMIT:
-            xy, sc, an, va, de = _level_features_banded(level, int(budgets[i]))
+            xy, sc, an, va, de = _level_features_banded(
+                level, int(budgets[i]), mask=level_mask)
         else:
-            xy, sc, an, va, de = _level_features(level, int(budgets[i]))
+            xy, sc, an, va, de = _level_features(
+                level, int(budgets[i]), mask=level_mask)
         # Per-axis rescale: int rounding makes h/lh != w/lw on non-square
         # frames — a shared factor would skew x by several px at the far
         # corner of a large level (inside the 3 px MAGSAC budget).

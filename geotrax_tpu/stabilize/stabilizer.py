@@ -25,11 +25,14 @@ as the reference, src 'stabilized' onto it).
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_LOG = logging.getLogger("geotrax")
 
 from geotrax_tpu.ops import features
 from geotrax_tpu.ops.homography import apply_homography
@@ -91,7 +94,10 @@ class Stabilizer:
         self._cur_matches = 0
         self._cur_inliers = 0
         self._fused = None        # jitted per-frame pipeline (single-level path)
-        self.mask_slots = 256     # fixed box-mask capacity for the fused path
+        # fixed box-mask capacity for the fused path: sized to the detector's
+        # max_det default (1000) — a smaller cap silently let features on the
+        # truncated vehicles bias the homography toward traffic motion
+        self.mask_slots = 1024
 
     # ------------------------------------------------------------------ internals
     def _prepare(self, frame: np.ndarray, boxes, n_features: int):
@@ -108,14 +114,13 @@ class Stabilizer:
         if self.use_sift:
             from geotrax_tpu.ops import sift
 
-            feats = sift.detect_and_describe(gray, n_features)
-            valid = feats.valid
-            if mask is not None:
-                xi = jnp.clip(feats.xy[:, 0].astype(jnp.int32), 0, gray.shape[1] - 1)
-                yi = jnp.clip(feats.xy[:, 1].astype(jnp.int32), 0, gray.shape[0] - 1)
-                valid = valid & mask[yi, xi]
+            # mask BEFORE the per-level budget selection (like fast_detect):
+            # post-hoc invalidation would let vehicle keypoints consume the
+            # feature budget and starve the static background
+            feats = sift.detect_and_describe(gray, n_features, mask=mask)
             kps = features.Keypoints(
-                xy=feats.xy, score=feats.score, angle=feats.angle, valid=valid
+                xy=feats.xy, score=feats.score, angle=feats.angle,
+                valid=feats.valid,
             )
             return kps, feats.desc
         if self.n_levels > 1:
@@ -237,10 +242,29 @@ class Stabilizer:
             self._cur_inliers = int(result.num_inliers)
             result_h = np.asarray(result.h_matrix)
 
+        if self._cur_matches < self.min_match_warning:
+            _LOG.warning(
+                f"Low match count ({self._cur_matches} < "
+                f"{self.min_match_warning}); homography may be unreliable."
+            )
+        if self._cur_inliers < self.min_inlier_warning:
+            _LOG.warning(
+                f"Low inlier count ({self._cur_inliers} < "
+                f"{self.min_inlier_warning}); homography may be unreliable."
+            )
+
         # Undo the downsampling: H_full = S^-1 · H_ds · S  (S = scale matrix).
         s = self.downsample_ratio
         scale = np.diag([s, s, 1.0]).astype(np.float32)
         h_full = np.linalg.inv(scale) @ result_h @ scale
+        # Degenerate-fit guard: near-collinear matches can leave RANSAC's
+        # best hypothesis NaN/Inf or rank-deficient — report failure (None)
+        # so callers fall back to identity / retry, exactly like the fused
+        # device path's isfinite + |denom| guard (device_pipeline.py).
+        if not np.all(np.isfinite(h_full)) or abs(h_full[2, 2]) < 1e-12:
+            self._cur_h = None
+            self._cur_boxes_ref = None
+            return
         self._cur_h = h_full / h_full[2, 2]
 
         if self._cur_boxes is not None and len(self._cur_boxes):

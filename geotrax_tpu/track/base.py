@@ -283,13 +283,28 @@ def predict_stage(state: TrackerState, cfg: TrackerConfig,
 
     if cfg.use_gmc and gmc_h is not None:
         # Transform track centers through the camera-motion homography; the
-        # linear part also rotates/scales the velocity vector.
+        # linear part also rotates/scales the velocity vector. For the xywh
+        # filter, (w,h) and (vw,vh) get the linear part too — ultralytics
+        # multi_gmc applies kron(eye(4), R) to the full 8-vector, so a zoom
+        # rescales predicted box sizes (without this, a 20% altitude change
+        # leaves every predicted box 20% wrong and IoU costs collapse in
+        # exactly the high-camera-motion frames GMC exists for). The factored
+        # per-coordinate covariance cannot represent R C R^T; for the
+        # near-rigid BEV motions GMC sees the off-diagonal terms are
+        # second-order and are deliberately dropped.
         centers = new_mean[:, :2]
         moved = apply_homography(gmc_h, centers[None, :, :])[0]
         lin = gmc_h[:2, :2]
         vel = new_mean[:, 4:6] @ lin.T
         new_mean = new_mean.at[:, :2].set(jnp.where(live[:, None], moved, centers))
         new_mean = new_mean.at[:, 4:6].set(jnp.where(live[:, None], vel, new_mean[:, 4:6]))
+        if cfg.kf_fmt == "xywh":
+            wh = new_mean[:, 2:4] @ lin.T
+            vwh = new_mean[:, 6:8] @ lin.T
+            new_mean = new_mean.at[:, 2:4].set(
+                jnp.where(live[:, None], wh, new_mean[:, 2:4]))
+            new_mean = new_mean.at[:, 6:8].set(
+                jnp.where(live[:, None], vwh, new_mean[:, 6:8]))
     return state._replace(kf_mean=new_mean, kf_cov=new_cov)
 
 

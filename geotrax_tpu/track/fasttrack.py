@@ -54,7 +54,11 @@ def make_fasttrack_step(params: dict, common: dict):
         )
         occluded_now = live & (jnp.max(cover, axis=1) >= cover_thresh)
         newly_occluded = occluded_now & (state.occ == 0)
-        occ = jnp.where(occluded_now, state.occ + 1, 0)
+        # occ persists while LOST (it marks the loss as occlusion-caused, the
+        # key for the extended reappear window below); it resets on re-match
+        # (status back to TRACKED, not covered) or for never-occluded tracks
+        occ = jnp.where(occluded_now, state.occ + 1,
+                        jnp.where(state.status == LOST, state.occ, 0))
 
         # (a) KF rollback at occlusion onset: restore velocity from the
         # observation history, position from a shallower history point.
@@ -104,12 +108,18 @@ def make_fasttrack_step(params: dict, common: dict):
             kill = fresh & (jnp.max(iou, axis=1) >= init_iou_suppress)
             state = state._replace(status=jnp.where(kill, EMPTY, state.status))
 
-        # extended reappear window for occlusion-lost tracks
+        # extended reappear window for occlusion-lost tracks: byte_associate
+        # just pruned every LOST track past track_buffer, including
+        # occlusion-lost ones whose window should be `reappear`. Their slot
+        # data is intact (spawn ran before the prune), so resurrect the ones
+        # still inside the extended window; past it they stay EMPTY.
         extended_buffer = jnp.maximum(cfg_.track_buffer, reappear)
-        expired_occ = (state.status == LOST) & (state.occ > 0) & (
-            frame_id - state.last_frame > extended_buffer
+        age = frame_id - state.last_frame
+        resurrect = (
+            (state.status == EMPTY) & (state.occ > 0)
+            & (age > cfg_.track_buffer) & (age <= extended_buffer)
         )
-        state = state._replace(status=jnp.where(expired_occ, EMPTY, state.status))
+        state = state._replace(status=jnp.where(resurrect, LOST, state.status))
 
         active = (state.status == TRACKED) & (state.last_frame == frame_id)
         out = base.FrameOutput(

@@ -32,10 +32,6 @@ from geotrax_tpu.track.base import (
 )
 
 
-class OCConfig(TrackerConfig):
-    pass
-
-
 def _velocity_direction(state: TrackerState, delta_t: int):
     """Per-track unit velocity direction from the observation ``delta_t``
     entries back to the newest observation (OCM reference direction)."""

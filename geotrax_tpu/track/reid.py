@@ -62,6 +62,23 @@ def load_head(path) -> dict | None:
         required |= {"proj_w", "proj_b"}
         if not required <= set(params):
             return None
+        # Shape validation against the fixed head architecture AND the
+        # tracker state's embedding width (base.EMB_DIM): a checkpoint with
+        # e.g. emb_dim=128 would otherwise pass and crash at jit-trace time
+        # deep inside the fused chunk program instead of falling back.
+        from geotrax_tpu.track.base import EMB_DIM
+
+        cin = 3
+        for i, cout in enumerate(CHANNELS):
+            if params[f"conv{i}_w"].shape != (3, 3, cin, cout):
+                return None
+            if params[f"conv{i}_b"].shape != (cout,):
+                return None
+            cin = cout
+        if params["proj_w"].shape != (cin, EMB_DIM):
+            return None
+        if params["proj_b"].shape != (EMB_DIM,):
+            return None
         return params
     except Exception:  # noqa: BLE001 — malformed checkpoint: fall back
         return None

@@ -5,8 +5,9 @@ cfg tracker.tracktrack): the association cost combines Height-Modulated IoU,
 an appearance term (HMIoU fallback when ReID is off — the pipeline default),
 a confidence-distance term and a corner-angle term with configurable
 weights; penalties p/q raise the cost of low-confidence and recovered
-detections; assignment iterates with the gate shrinking by ``reduce_step``
-per round so confident pairs bind first; track-aware initialisation (TAI)
+detections; assignment iterates from a tight gate that relaxes by
+``reduce_step`` per round so confident pairs bind first; track-aware
+initialisation (TAI)
 suppresses new tracks overlapping surviving detections above ``tai_thr``;
 tracks confirm only after ``min_track_len`` hits; still-lost tracks get a
 relaxed second chance when ``lost_match_thr`` > 0.
@@ -87,13 +88,17 @@ def make_tracktrack_step(params: dict, common: dict):
         considered = det_valid & (det_scores > cfg_.track_low_thresh)
         pool = (state.status == TRACKED) | (state.status == LOST)
 
-        # Iterative assignment: bind with a tight gate first, then relax
-        # nothing — TrackTrack *shrinks* the gate from match_thresh downward,
-        # accepting matches each round and removing them from play.
+        # Iterative assignment, confident pairs first: round 0 runs at the
+        # TIGHTEST gate (match_thresh - (num_rounds-1)*reduce_step) so
+        # low-cost pairs bind before a marginal pair can steal a detection;
+        # each later round relaxes the gate by reduce_step for the leftovers,
+        # ending at match_thresh. (Starting loose and shrinking would make
+        # rounds 2+ no-ops: anything feasible at a stricter gate was already
+        # feasible at the looser one.)
         det_used = jnp.zeros_like(det_valid)
         track_done = jnp.zeros_like(pool)
         for r in range(num_rounds):
-            gate = cfg_.match_thresh - r * reduce_step
+            gate = cfg_.match_thresh - (num_rounds - 1 - r) * reduce_step
             cost = multi_cue_cost(state, cfg_, det_boxes, det_scores, det_emb)
             col, m = masked_assignment(
                 cost, pool & ~track_done, considered & ~det_used, gate
@@ -117,11 +122,15 @@ def make_tracktrack_step(params: dict, common: dict):
         went_lost = (state.status == TRACKED) & (state.last_frame < frame_id)
         state = state._replace(status=jnp.where(went_lost, LOST, state.status))
 
-        # tentative pass (shared semantics)
+        # tentative pass (shared semantics: only remaining HIGH-confidence
+        # dets may confirm an unconfirmed track, like base.byte_associate —
+        # letting 0.1-0.25-score leftovers promote one-hit tracks would put
+        # reflections/partial duplicates into the output)
+        high = det_valid & (det_scores >= cfg_.track_high_thresh)
         unconfirmed = state.status == TENTATIVE
         cost3 = base._iou_cost(state, cfg_, det_boxes)
         col3, m3 = masked_assignment(
-            cost3, unconfirmed, considered & ~det_used, cfg_.tentative_match_thresh
+            cost3, unconfirmed, high & ~det_used, cfg_.tentative_match_thresh
         )
         state = base._apply_matches(state, cfg_, det_boxes, det_scores, det_cls, col3, m3, frame_id)
         det_used = det_used.at[jnp.where(m3, col3, det_boxes.shape[0])].set(True, mode="drop")

@@ -169,9 +169,9 @@ def test_detect_and_describe_uses_banding_for_large_levels(monkeypatch):
     calls = {"banded": 0}
     orig = sift._level_features_banded
 
-    def spy(level, budget):
+    def spy(level, budget, **kw):
         calls["banded"] += 1
-        return orig(level, budget)
+        return orig(level, budget, **kw)
 
     monkeypatch.setattr(sift, "BAND_PIXEL_LIMIT", 200 * 200)
     monkeypatch.setattr(sift, "_level_features_banded", spy)

@@ -165,6 +165,66 @@ def test_botsort_gmc_compensation():
     assert len(set(flat)) == 1, f"identity broke under camera pan: {ids_seen}"
 
 
+def test_botsort_gmc_rescales_box_size():
+    """ultralytics multi_gmc applies the homography's linear part to (w,h)
+    and their velocities too — after a zoom the predicted box must scale,
+    or IoU costs collapse exactly when GMC matters."""
+    from geotrax_tpu.track import base as tbase
+    from geotrax_tpu.track.base import TrackerConfig
+
+    cfg = TrackerConfig(
+        kf_fmt="xywh", use_gmc=True,
+        track_high_thresh=0.25, track_low_thresh=0.1, new_track_thresh=0.25,
+        track_buffer=5, match_thresh=0.8, fuse_score=True, max_tracks=8,
+    )
+    state = tbase.init_state(cfg)
+    b, s, c, v = dets([[100.0, 80.0, 40, 20]])
+    state = tbase.byte_associate(state, cfg, b, s, c, v, jnp.int32(1))
+    zoom = jnp.eye(3) * 1.2
+    zoom = zoom.at[2, 2].set(1.0)
+    state2 = tbase.predict_stage(state, cfg, zoom)
+    slot = int(np.argmax(np.asarray(state.status) > 0))
+    wh = np.asarray(state2.kf_mean)[slot, 2:4]
+    np.testing.assert_allclose(wh, [40 * 1.2, 20 * 1.2], rtol=1e-5)
+
+
+def test_fasttrack_occlusion_reappear_window_exceeds_buffer():
+    """An occlusion-lost track must be re-findable inside occ_reappear_window
+    even past track_buffer (the extended window is fasttrack's feature d)."""
+    frames = []
+    # two overlapping targets long enough to trip the occlusion counter
+    for t in range(6):
+        frames.append({"boxes": [[100.0, 80.0, 30, 16], [102.0, 81.0, 30, 16]]})
+    # occluded target vanishes for 8 frames (> buffer 5, < reappear 12)
+    for t in range(8):
+        frames.append({"boxes": [[102.0, 81.0, 30, 16]]})
+    frames.append({"boxes": [[100.0, 80.0, 30, 16], [102.0, 81.0, 30, 16]]})
+    out = run_sequence(
+        "fasttrack", frames,
+        params={"occ_cover_thresh": 0.5, "active_occ_to_lost_thresh": 3,
+                "occ_reappear_window": 12, "init_iou_suppress": 1.0},
+    )
+    early_ids = set(out[2]["ids"]) | set(out[3]["ids"])
+    final_ids = set(out[-1]["ids"])
+    # the reappearing box rebinds to a pre-occlusion identity, not a new one
+    assert final_ids <= early_ids, f"{early_ids} vs {final_ids}"
+
+
+def test_tracktrack_tentative_needs_high_confidence():
+    """Leftover low-confidence dets (between low and high thresholds) must
+    not confirm a TENTATIVE track — shared BYTE stage-3 semantics: only
+    remaining HIGH dets may, else reflections promote one-hit tracks."""
+    frames = [
+        {"boxes": []},                                        # frame 1 empty
+        {"boxes": [[60.0, 60.0, 20, 10]], "scores": [0.9]},   # spawns TENTATIVE
+        {"boxes": [[62.0, 60.0, 20, 10]], "scores": [0.15]},  # low-conf only
+    ]
+    out = run_sequence("tracktrack", frames)
+    # pre-fix the 0.15 det matched the tentative track in the stage-3 pass,
+    # promoting it to TRACKED and emitting it; post-fix it is dropped
+    assert out[-1]["ids"] == []
+
+
 @pytest.mark.slow
 def test_scan_over_frames_matches_python_loop():
     """The per-frame step scans (device-resident timeline) with identical
