@@ -96,15 +96,19 @@ def _c2f_params(sd: dict, prefix: str) -> dict:
 
 
 def infer_spec(sd: dict):
-    """Deduce the YOLOv8 variant/nc from a state dict's channel sizes."""
+    """Deduce the YOLOv8 variant/nc (and P2-ness: yolov8-p2.yaml's Detect
+    lives at model.28 instead of model.22) from a state dict's layout."""
     from geotrax_tpu.models.yolov8 import ModelSpec, SCALES
 
+    p2 = "model.28.cv3.0.2.weight" in sd
+    head = 28 if p2 else 22
     stem_out = sd["model.0.conv.weight"].shape[0]
-    nc = sd["model.22.cv3.0.2.weight"].shape[0]
-    reg_max = sd["model.22.cv2.0.2.weight"].shape[0] // 4
+    nc = sd[f"model.{head}.cv3.0.2.weight"].shape[0]
+    reg_max = sd[f"model.{head}.cv2.0.2.weight"].shape[0] // 4
     for variant, (_, w, _) in SCALES.items():
         if int(np.ceil(64 * w / 8) * 8) == stem_out:
-            return ModelSpec(variant=variant, nc=int(nc), reg_max=int(reg_max))
+            return ModelSpec(variant=variant, nc=int(nc), reg_max=int(reg_max),
+                             p2=p2)
     raise ValueError(f"Cannot infer YOLOv8 variant from stem width {stem_out}")
 
 
@@ -133,18 +137,19 @@ def convert_ultralytics(sd: dict, spec=None) -> tuple:
             }
 
     cv2_list, cv3_list = [], []
-    for k in range(3):
+    head = spec.head_index
+    for k in range(len(spec.strides)):
         cv2_list.append([
-            _fold_conv_bn(sd, f"model.22.cv2.{k}.0"),
-            _fold_conv_bn(sd, f"model.22.cv2.{k}.1"),
-            _plain_conv(sd, f"model.22.cv2.{k}.2"),
+            _fold_conv_bn(sd, f"model.{head}.cv2.{k}.0"),
+            _fold_conv_bn(sd, f"model.{head}.cv2.{k}.1"),
+            _plain_conv(sd, f"model.{head}.cv2.{k}.2"),
         ])
         cv3_list.append([
-            _fold_conv_bn(sd, f"model.22.cv3.{k}.0"),
-            _fold_conv_bn(sd, f"model.22.cv3.{k}.1"),
-            _plain_conv(sd, f"model.22.cv3.{k}.2"),
+            _fold_conv_bn(sd, f"model.{head}.cv3.{k}.0"),
+            _fold_conv_bn(sd, f"model.{head}.cv3.{k}.1"),
+            _plain_conv(sd, f"model.{head}.cv3.{k}.2"),
         ])
-    layers["22"] = {"cv2": cv2_list, "cv3": cv3_list}
+    layers[str(head)] = {"cv2": cv2_list, "cv3": cv3_list}
     return {"layers": layers}, spec
 
 
@@ -165,6 +170,7 @@ def load_model(model_path: Path):
             variant=str(meta.get("variant", "s")),
             nc=int(meta.get("nc", 4)),
             reg_max=int(meta.get("reg_max", 16)),
+            p2=bool(int(meta.get("p2", 0))),
         )
         # load_npz reconstructs dicts keyed by strings; restore detect-head lists
         params = _restore_lists(params)
@@ -274,19 +280,20 @@ def export_ultralytics_state_dict(params: dict, spec) -> dict:
         else:  # sppf
             _unfold_conv_bn(p["cv1"], f"{prefix}.cv1", out)
             _unfold_conv_bn(p["cv2"], f"{prefix}.cv2", out)
-    head = layers["22"]
+    hidx = spec.head_index
+    head = layers[str(hidx)]
     for branch in ("cv2", "cv3"):
-        for k in range(3):
+        for k in range(len(spec.strides)):
             stack = head[branch][k]
-            _unfold_conv_bn(stack[0], f"model.22.{branch}.{k}.0", out)
-            _unfold_conv_bn(stack[1], f"model.22.{branch}.{k}.1", out)
+            _unfold_conv_bn(stack[0], f"model.{hidx}.{branch}.{k}.0", out)
+            _unfold_conv_bn(stack[1], f"model.{hidx}.{branch}.{k}.1", out)
             w = np.transpose(np.asarray(stack[2]["w"], np.float32), (3, 2, 0, 1))
-            out[f"model.22.{branch}.{k}.2.weight"] = w
-            out[f"model.22.{branch}.{k}.2.bias"] = np.asarray(
+            out[f"model.{hidx}.{branch}.{k}.2.weight"] = w
+            out[f"model.{hidx}.{branch}.{k}.2.bias"] = np.asarray(
                 stack[2]["b"], np.float32
             )
     # ultralytics' DFL expectation conv (frozen arange weights)
-    out["model.22.dfl.conv.weight"] = np.arange(
+    out[f"model.{hidx}.dfl.conv.weight"] = np.arange(
         spec.reg_max, dtype=np.float32
     ).reshape(1, spec.reg_max, 1, 1)
     return out

@@ -27,31 +27,40 @@ class Detector:
     def __init__(self, model_path: Path, detect_cfg: dict, logger=None):
         from geotrax_tpu.models.convert import load_model
 
-        self.is_rtdetr = "rtdetr" in str(model_path).lower()
-        if self.is_rtdetr:
-            self._init_rtdetr(Path(model_path), detect_cfg, logger)
-            return
-        self.params, self.spec, self.class_names = load_model(model_path)
+        # ---- shared config, parsed ONCE before the family dispatch (the
+        # rtdetr branches previously re-parsed a subset and drifted: missing
+        # tiles/half/agnostic crashed detect_batch with AttributeError)
+        self.imgsz = int(detect_cfg.get("imgsz", 1920) or 1920)
+        self.conf = float(detect_cfg.get("conf", 0.25) or 0.25)
+        self.iou = float(detect_cfg.get("iou", 0.7) or 0.7)
+        self.max_det = int(detect_cfg.get("max_det", 1000) or 1000)
+        self.agnostic = bool(detect_cfg.get("agnostic_nms", True))
         # cfg ultralytics.half (reference runs fp16 on GPU): bf16 params +
         # activations on TPU, f32 postprocess — the recommended deployment
         # dtype (MXU-native; detection parity within NMS score jitter)
         self.half = bool(detect_cfg.get("half", False))
+        # spatial tiling (cfg ultralytics.tiles / extract --tiles): T vertical
+        # tiles each letterboxed to imgsz see the scene at ~T/2 the default
+        # scale — the small-object accuracy lever (parallel/tiling.py)
+        self.tiles = int(detect_cfg.get("tiles", 1) or 1)
+        self.tile_overlap = int(detect_cfg.get("tile_overlap", 128) or 128)
+        self._geom = {}
+        self._fn = {}
+
+        self.is_rtdetr = "rtdetr" in str(model_path).lower()
+        if self.is_rtdetr:
+            self._init_rtdetr(Path(model_path), logger)
+            if self.tiles > 1 and logger:
+                logger.warning("Spatial tiling is not supported for RT-DETR; ignored.")
+                self.tiles = 1
+        else:
+            self.params, self.spec, self.class_names = load_model(model_path)
         if self.half:
             self.params = jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16)
                 if jnp.issubdtype(a.dtype, jnp.floating) else a,
                 self.params,
             )
-        self.imgsz = int(detect_cfg.get("imgsz", 1920) or 1920)
-        self.conf = float(detect_cfg.get("conf", 0.25) or 0.25)
-        self.iou = float(detect_cfg.get("iou", 0.7) or 0.7)
-        self.max_det = int(detect_cfg.get("max_det", 1000) or 1000)
-        self.agnostic = bool(detect_cfg.get("agnostic_nms", True))
-        # spatial tiling (cfg ultralytics.tiles / extract --tiles): T vertical
-        # tiles each letterboxed to imgsz see the scene at ~T/2 the default
-        # scale — the small-object accuracy lever (parallel/tiling.py)
-        self.tiles = int(detect_cfg.get("tiles", 1) or 1)
-        self.tile_overlap = int(detect_cfg.get("tile_overlap", 128) or 128)
         classes = detect_cfg.get("classes")
         self.class_mask = None
         if classes is not None:
@@ -66,15 +75,14 @@ class Detector:
                 mask = np.zeros((self.spec.nc,), bool)
                 mask[in_range] = True
                 self.class_mask = jnp.asarray(mask)
-        self._geom = {}
-        self._fn = {}
-        if logger:
+        if logger and not self.is_rtdetr:
             logger.info(
                 f"Detector: yolov8{self.spec.variant} nc={self.spec.nc} "
                 f"imgsz={self.imgsz} conf={self.conf} iou={self.iou} max_det={self.max_det}"
             )
 
-    def _init_rtdetr(self, model_path: Path, detect_cfg: dict, logger):
+    def _init_rtdetr(self, model_path: Path, logger):
+        """Load RT-DETR weights/spec (config already parsed by __init__)."""
         from geotrax_tpu.models import rtdetr
         from geotrax_tpu.models.convert import load_npz
 
@@ -91,11 +99,6 @@ class Detector:
             self.params, self.spec = convert_rtdetr_ultralytics(sd)
             self.class_names = read_class_names(model_path)
             self.is_ul_rtdetr = True
-            self.imgsz = int(detect_cfg.get("imgsz", 1920) or 1920)
-            self.conf = float(detect_cfg.get("conf", 0.25) or 0.25)
-            self.max_det = int(detect_cfg.get("max_det", 1000) or 1000)
-            self._fn = {}
-            self._geom = {}
             if logger:
                 logger.info(
                     f"Detector: ultralytics rtdetr-l nc={self.spec.nc} (NMS-free)"
@@ -116,11 +119,6 @@ class Detector:
 
         self.params = _restore_lists(raw)
         self.class_names = meta.get("class_names")
-        self.imgsz = int(detect_cfg.get("imgsz", 1920) or 1920)
-        self.conf = float(detect_cfg.get("conf", 0.25) or 0.25)
-        self.max_det = int(detect_cfg.get("max_det", 1000) or 1000)
-        self._fn = {}
-        self._geom = {}
         if logger:
             logger.info(f"Detector: rtdetr-{self.spec.variant} nc={self.spec.nc} (NMS-free)")
 
@@ -129,25 +127,38 @@ class Detector:
         if key in self._fn:
             return self._fn[key]
         from geotrax_tpu.models import rtdetr, rtdetr_ul
+        from geotrax_tpu.ops.resize import resize_u8_linear
 
         forward_fn = (
             rtdetr_ul.forward if getattr(self, "is_ul_rtdetr", False)
             else rtdetr.forward
         )
-        out_h, out_w, r, top, left = yolov8.letterbox_shape(src_h, src_w, self.imgsz)
-        new_h, new_w = round(src_h * r), round(src_w * r)
+        # ultralytics RTDETRPredictor preprocesses with a SQUARE STRETCH
+        # (LetterBox(auto=False, scale_fill=True)) — NOT the YOLO aspect-
+        # preserving letterbox; converted weights only reproduce reference
+        # detections with the geometry they were evaluated through.
+        imgsz = self.imgsz
+        sx, sy = src_w / imgsz, src_h / imgsz
         spec, params, conf = self.spec, self.params, self.conf
+        half, class_mask, max_det = self.half, self.class_mask, self.max_det
+        unstretch = jnp.asarray([sx, sy, sx, sy], jnp.float32)
 
         @jax.jit
         def run(frame_u8):
-            img = yolov8.letterbox(frame_u8, out_h, out_w, new_h, new_w, top, left)
+            img = resize_u8_linear(frame_u8, imgsz, imgsz).astype(jnp.float32) / 255.0
+            if half:
+                img = img.astype(jnp.bfloat16)
             boxes, probs = forward_fn(params, img[None], spec)
-            scores = probs[0].max(-1)
-            classes = probs[0].argmax(-1)
-            k = min(self.max_det, scores.shape[0])
+            boxes = boxes[0].astype(jnp.float32)
+            probs = probs[0].astype(jnp.float32)
+            if class_mask is not None:
+                probs = jnp.where(class_mask[None, :], probs, 0.0)
+            scores = probs.max(-1)
+            classes = probs.argmax(-1)
+            k = min(max_det, scores.shape[0])
             top_scores, idx = jax.lax.top_k(scores, k)
-            pad = self.max_det - k
-            det_boxes = yolov8.unletterbox_boxes(boxes[0][idx], r, top, left)
+            pad = max_det - k
+            det_boxes = boxes[idx] * unstretch
             return {
                 "boxes_xywh": jnp.pad(det_boxes, ((0, pad), (0, 0))),
                 "scores": jnp.pad(top_scores, (0, pad)),

@@ -81,7 +81,14 @@ def task_aligned_assign(
     masked_iou = jnp.where(is_topk, ious, -1.0)
     best_gt = jnp.argmax(masked_iou, axis=1)
     fg = jnp.any(is_topk, axis=1)
-    return best_gt, fg, align
+    # final (A,G) positive mask after the multi-GT resolution — the
+    # candidate set the TAL soft-target normalizers reduce over
+    # (ultralytics mask_pos: normalizing with unassignable anchors' IoUs
+    # would mis-scale the soft class targets)
+    pos_mask = is_topk & fg[:, None] & (
+        best_gt[:, None] == jnp.arange(align.shape[1])[None, :]
+    )
+    return best_gt, fg, align, ious, pos_mask
 
 
 @partial(jax.jit, static_argnames=("spec",))
@@ -92,7 +99,7 @@ def detection_loss(params, images, gt_boxes, gt_cls, gt_mask, spec,
     from geotrax_tpu.models import yolov8
 
     feats = yolov8.forward_features(params, images, spec)
-    raw = yolov8.detect_head(params["layers"]["22"], feats, spec)  # (B,A,4R+C)
+    raw = yolov8.detect_head(params["layers"][str(spec.head_index)], feats, spec)  # (B,A,4R+C)
     feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
     anchors, strides = yolov8.make_anchors(feat_shapes, spec.strides)
     boxes_xywh, probs = yolov8.decode_boxes(raw, anchors, strides, spec)
@@ -103,7 +110,7 @@ def detection_loss(params, images, gt_boxes, gt_cls, gt_mask, spec,
     cls_logits = raw[..., 4 * spec.reg_max:]
 
     def per_image(pred_probs, pred_xyxy, reg_i, cls_logits_i, gt_b, gt_c, gt_m):
-        best_gt, fg, align = task_aligned_assign(
+        best_gt, fg, align, ious, pos_mask = task_aligned_assign(
             pred_probs, pred_xyxy, anchors_px, gt_b, gt_c, gt_m
         )
         a = pred_probs.shape[0]
@@ -111,11 +118,13 @@ def detection_loss(params, images, gt_boxes, gt_cls, gt_mask, spec,
         tgt_boxes = xywh_to_xyxy(gt_b)[safe_gt]  # (A,4)
         tgt_cls = gt_c[safe_gt]
 
-        # normalized soft cls targets (TAL): align / max_align * max_iou per GT
-        ious = iou_matrix(pred_xyxy, xywh_to_xyxy(gt_b))
+        # normalized soft cls targets (TAL): align / max_align * max_iou per
+        # GT, both maxima over the GT's ASSIGNED candidates (ultralytics
+        # pos_overlaps) — the whole-column max could come from an anchor
+        # whose center is outside the GT and mis-scale the soft targets
         pos_align = jnp.where(fg, align[jnp.arange(a), safe_gt], 0.0)
-        gt_max_align = jnp.max(align, axis=0)  # (G,)
-        gt_max_iou = jnp.max(jnp.where(gt_m[None, :], ious, 0.0), axis=0)
+        gt_max_align = jnp.max(jnp.where(pos_mask, align, 0.0), axis=0)  # (G,)
+        gt_max_iou = jnp.max(jnp.where(pos_mask, ious, 0.0), axis=0)
         norm = gt_max_iou[safe_gt] / jnp.maximum(gt_max_align[safe_gt], 1e-9)
         soft_tgt = jnp.clip(pos_align * norm, 0.0, 1.0)
 

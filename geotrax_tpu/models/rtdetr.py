@@ -291,8 +291,11 @@ def forward(params, images, spec: RTDETRSpec):
         queries = _layer_norm(queries + cross, layer["ln2"])
         queries = _layer_norm(queries + _ffn(layer["ffn"], queries), layer["ln3"])
         delta = _mlp3(layer["refine"], queries)
-        ref_boxes = jax.nn.sigmoid(
-            delta + jnp.log(ref_boxes / jnp.clip(1 - ref_boxes, 1e-6)))
+        # clamp BOTH sides of the logit inversion: sigmoid saturating to
+        # exactly 0 would make log(0) = -inf and poison gradients in one
+        # training step (same clamped form as rtdetr_ul._inverse_sigmoid)
+        rb = jnp.clip(ref_boxes, 1e-5, 1.0 - 1e-5)
+        ref_boxes = jax.nn.sigmoid(delta + jnp.log(rb / (1.0 - rb)))
 
     logits = _apply_linear(params["cls_head"], queries)
     probs = jax.nn.sigmoid(logits)
@@ -337,14 +340,15 @@ def detr_loss(params, images, gt_boxes, gt_cls, gt_mask, spec: RTDETRSpec,
         )
         safe_col = jnp.clip(col, 0, nq - 1)
 
-        # classification: matched queries get their GT class, rest background
+        # classification: matched queries get their GT class, rest background.
+        # Scatter at the UNCLIPPED index with unmatched rows forced to -1 so
+        # mode="drop" discards them — clipping first would make every
+        # unmatched GT row write zeros at query 0, nondeterministically
+        # clobbering a real match there (duplicate-index update order is
+        # undefined).
         target = jnp.zeros((nq, spec.nc))
-        target = target.at[safe_col].set(
-            jnp.where(
-                (matched)[:, None],
-                jax.nn.one_hot(gt_c, spec.nc), target[safe_col]
-            ), mode="drop",
-        )
+        col_eff = jnp.where(matched, col, nq)  # nq = out-of-bounds -> dropped
+        target = target.at[col_eff].set(jax.nn.one_hot(gt_c, spec.nc), mode="drop")
         bce = -(target * jnp.log(pred_probs + 1e-8)
                 + (1 - target) * jnp.log(1 - pred_probs + 1e-8)).mean()
 

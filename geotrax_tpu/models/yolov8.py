@@ -53,6 +53,19 @@ class ModelSpec(NamedTuple):
     def strides(self):
         return (4, 8, 16, 32) if self.p2 else (8, 16, 32)
 
+    @property
+    def head_index(self) -> int:
+        """Detect layer index in the ultralytics graph: yolov8.yaml puts it
+        at 22; yolov8-p2.yaml's longer neck puts it at 28."""
+        return 28 if self.p2 else 22
+
+    @property
+    def head_channels(self):
+        w = self.width
+        if self.p2:
+            return (w(128), w(256), w(512), w(1024))
+        return (w(256), w(512), w(1024))
+
     def width(self, c: int) -> int:
         d, w, maxc = SCALES[self.variant]
         return int(math.ceil(min(c, maxc) * w / 8) * 8) if c != 3 else 3
@@ -221,10 +234,11 @@ def decode_boxes(raw, anchors, strides_per_anchor, spec: ModelSpec):
 
 def backbone_plan(spec: ModelSpec):
     """(layer_index -> (kind, args)) for backbone+neck; mirrors ultralytics
-    yolov8.yaml layer numbering so converted weights align by index."""
+    yolov8.yaml (and yolov8-p2.yaml when spec.p2) layer numbering so
+    converted weights align by index."""
     w = spec.width
     d = spec.depth
-    return {
+    plan = {
         0: ("conv", dict(cout=w(64), stride=2)),
         1: ("conv", dict(cout=w(128), stride=2)),
         2: ("c2f", dict(cout=w(128), n=d(3), shortcut=True)),
@@ -237,11 +251,27 @@ def backbone_plan(spec: ModelSpec):
         9: ("sppf", dict(cout=w(1024))),
         12: ("c2f", dict(cout=w(512), n=d(3), shortcut=False)),
         15: ("c2f", dict(cout=w(256), n=d(3), shortcut=False)),
-        16: ("conv", dict(cout=w(256), stride=2)),
-        18: ("c2f", dict(cout=w(512), n=d(3), shortcut=False)),
-        19: ("conv", dict(cout=w(512), stride=2)),
-        21: ("c2f", dict(cout=w(1024), n=d(3), shortcut=False)),
     }
+    if spec.p2:
+        # yolov8-p2.yaml: one more top-down stage to P2 (stride 4), then a
+        # three-step bottom-up path; Detect moves to layer 28
+        plan.update({
+            18: ("c2f", dict(cout=w(128), n=d(3), shortcut=False)),
+            19: ("conv", dict(cout=w(128), stride=2)),
+            21: ("c2f", dict(cout=w(256), n=d(3), shortcut=False)),
+            22: ("conv", dict(cout=w(256), stride=2)),
+            24: ("c2f", dict(cout=w(512), n=d(3), shortcut=False)),
+            25: ("conv", dict(cout=w(512), stride=2)),
+            27: ("c2f", dict(cout=w(1024), n=d(3), shortcut=False)),
+        })
+    else:
+        plan.update({
+            16: ("conv", dict(cout=w(256), stride=2)),
+            18: ("c2f", dict(cout=w(512), n=d(3), shortcut=False)),
+            19: ("conv", dict(cout=w(512), stride=2)),
+            21: ("c2f", dict(cout=w(1024), n=d(3), shortcut=False)),
+        })
+    return plan
 
 
 def forward_features(params, x, spec: ModelSpec):
@@ -269,8 +299,8 @@ def forward_features(params, x, spec: ModelSpec):
         x = stem_conv_s2d(L["1"], x)
     else:
         x = run(1, x)
-    x = run(2, x)
-    x = run(3, x)
+    p2 = run(2, x)
+    x = run(3, p2)
     p3 = run(4, x)
     x = run(5, p3)
     p4 = run(6, x)
@@ -283,6 +313,19 @@ def forward_features(params, x, spec: ModelSpec):
     n12 = run(12, u1)
     u2 = jnp.concatenate([upsample2x(n12), p3], axis=-1)
     n15 = run(15, u2)
+    if spec.p2:
+        # yolov8-p2.yaml: one more top-down stage to P2 (stride 4), then
+        # bottom-up through P3/P4/P5 (cats with n15, n12, p5 = layers
+        # 15/12/9, Detect on [18, 21, 24, 27])
+        u3 = jnp.concatenate([upsample2x(n15), p2], axis=-1)
+        n18 = run(18, u3)
+        d1 = jnp.concatenate([run(19, n18), n15], axis=-1)
+        n21 = run(21, d1)
+        d2 = jnp.concatenate([run(22, n21), n12], axis=-1)
+        n24 = run(24, d2)
+        d3 = jnp.concatenate([run(25, n24), p5], axis=-1)
+        n27 = run(27, d3)
+        return [n18, n21, n24, n27]
     # bottom-up
     d1 = jnp.concatenate([run(16, n15), n12], axis=-1)
     n18 = run(18, d1)
@@ -296,7 +339,7 @@ def forward(params, images, spec: ModelSpec):
     """(B,H,W,3) float images (already letterboxed, 0..1) ->
     (boxes_xywh (B,N,4) in input px, class_probs (B,N,nc))."""
     feats = forward_features(params, images, spec)
-    raw = detect_head(params["layers"]["22"], feats, spec)
+    raw = detect_head(params["layers"][str(spec.head_index)], feats, spec)
     feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
     anchors, stride_arr = make_anchors(feat_shapes, spec.strides)
     return decode_boxes(raw, anchors, stride_arr, spec)
@@ -335,9 +378,19 @@ def init_params(key, spec: ModelSpec) -> dict:
     cin_map = {
         0: 3, 1: w(64), 2: w(128), 3: w(128), 4: w(256), 5: w(256), 6: w(512),
         7: w(512), 8: w(1024), 9: w(1024),
-        12: w(1024) + w(512), 15: w(512) + w(256), 16: w(256),
-        18: w(256) + w(512), 19: w(512), 21: w(512) + w(1024),
+        12: w(1024) + w(512), 15: w(512) + w(256),
     }
+    if spec.p2:
+        cin_map.update({
+            18: w(256) + w(128), 19: w(128), 21: w(128) + w(256),
+            22: w(256), 24: w(256) + w(512), 25: w(512),
+            27: w(512) + w(1024),
+        })
+    else:
+        cin_map.update({
+            16: w(256), 18: w(256) + w(512), 19: w(512),
+            21: w(512) + w(1024),
+        })
     layers = {}
     keys = jax.random.split(key, 32)
     for j, (i, (kind, args)) in enumerate(sorted(plan.items())):
@@ -353,8 +406,8 @@ def init_params(key, spec: ModelSpec) -> dict:
                 "cv2": _init_conv(jax.random.fold_in(keys[j], 1), half * 4, args["cout"], 1),
             }
 
-    # detect head
-    ch = [w(256), w(512), w(1024)]
+    # detect head (layer 22, or 28 for the P2 variant's 4-scale head)
+    ch = list(spec.head_channels)
     c2 = max(16, ch[0] // 4, 4 * spec.reg_max)
     c3 = max(ch[0], min(spec.nc, 100))
     kd = jax.random.split(keys[-1], 6 * len(ch))
@@ -370,7 +423,7 @@ def init_params(key, spec: ModelSpec) -> dict:
             _init_conv(kd[6 * k_i + 4], c3, c3, 3),
             _init_conv(kd[6 * k_i + 5], c3, spec.nc, 1),
         ])
-    layers["22"] = {"cv2": cv2_list, "cv3": cv3_list}
+    layers[str(spec.head_index)] = {"cv2": cv2_list, "cv3": cv3_list}
     return {"layers": layers}
 
 

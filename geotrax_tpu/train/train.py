@@ -107,7 +107,10 @@ def train(args, logger=None) -> dict:
         params = jax.tree.map(jnp.asarray, params)
         logger.info(f"Fine-tuning from '{args.model}' (yolov8{spec.variant}, nc={spec.nc}).")
     else:
-        spec = yolov8.ModelSpec(variant=args.variant, nc=args.nc)
+        # reference train.sh model matrix accepts yolov8{n,s,m,l,x}[-p2]
+        v = args.variant
+        p2 = v.endswith("-p2")
+        spec = yolov8.ModelSpec(variant=v[:-3] if p2 else v, nc=args.nc, p2=p2)
         params = yolov8.init_params(jax.random.PRNGKey(int(hp.get("seed", 0) or 0)), spec)
         logger.info(f"Training yolov8{spec.variant} (nc={spec.nc}) from scratch.")
 
@@ -190,13 +193,15 @@ def train(args, logger=None) -> dict:
             host_params = jax.tree.map(np.asarray, params)
             save_npz(out_dir / "last.npz", host_params,
                      class_names={i: str(i) for i in range(spec.nc)},
-                     variant=spec.variant, nc=spec.nc, reg_max=spec.reg_max)
+                     variant=spec.variant, nc=spec.nc, reg_max=spec.reg_max,
+                     p2=int(spec.p2))
             if val["map50"] > best_map:
                 best_map = val["map50"]
                 bad_epochs = 0
                 save_npz(out_dir / "best.npz", host_params,
                          class_names={i: str(i) for i in range(spec.nc)},
-                         variant=spec.variant, nc=spec.nc, reg_max=spec.reg_max)
+                         variant=spec.variant, nc=spec.nc, reg_max=spec.reg_max,
+                     p2=int(spec.p2))
             else:
                 bad_epochs += 1
                 if bad_epochs >= patience:
@@ -215,7 +220,8 @@ def parse_cli_args():
                         help="Dataset root (images/{train,val} + labels/{train,val})")
     parser.add_argument("--model", type=str, default=None,
                         help="Pretrained checkpoint (.pt or .npz); omit to train from scratch")
-    parser.add_argument("--variant", type=str, default="s", choices=list("nsmlx"))
+    parser.add_argument("--variant", type=str, default="s",
+                        choices=[v + sfx for v in "nsmlx" for sfx in ("", "-p2")])
     parser.add_argument("--nc", type=int, default=4, help="Number of classes")
     parser.add_argument("--cfg", "-c", type=str, default="default")
     parser.add_argument("--imgsz", type=int, default=None)

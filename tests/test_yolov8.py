@@ -158,6 +158,45 @@ def test_forward_shapes(variant):
     assert bool(jnp.all(probs >= 0)) and bool(jnp.all(probs <= 1))
 
 
+@pytest.mark.slow
+def test_forward_shapes_p2():
+    """yolov8-p2 (reference train.sh model matrix yolov8X[-p2]): 4-scale head
+    at strides (4,8,16,32), Detect at layer 28."""
+    spec = ModelSpec(variant="n", nc=4, p2=True)
+    assert spec.head_index == 28 and spec.strides == (4, 8, 16, 32)
+    params = init_params(jax.random.PRNGKey(0), spec)
+    assert "28" in params["layers"] and "22" in params["layers"]  # 22 = conv
+    x = jnp.zeros((1, 160, 160, 3), jnp.float32)
+    boxes, probs = forward(params, x, spec)
+    n_anchors = sum((160 // s) ** 2 for s in (4, 8, 16, 32))
+    assert boxes.shape == (1, n_anchors, 4)
+    assert probs.shape == (1, n_anchors, 4)
+    assert bool(jnp.all(probs >= 0)) and bool(jnp.all(probs <= 1))
+
+
+@pytest.mark.slow
+def test_p2_export_convert_roundtrip():
+    """export_ultralytics_state_dict (P2 layout, head at model.28) feeds back
+    through infer_spec + convert_ultralytics bit-exactly."""
+    from geotrax_tpu.models.convert import (
+        convert_ultralytics,
+        export_ultralytics_state_dict,
+        infer_spec,
+    )
+
+    spec = ModelSpec(variant="n", nc=4, p2=True)
+    params = init_params(jax.random.PRNGKey(1), spec)
+    sd = {k: np.asarray(v) for k, v in export_ultralytics_state_dict(params, spec).items()}
+    spec2 = infer_spec(sd)
+    assert spec2.p2 and spec2.variant == "n" and spec2.nc == 4
+    params2, _ = convert_ultralytics(sd, spec2)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 96, 96, 3)), jnp.float32)
+    b1, p1 = forward(params, x, spec)
+    b2, p2_ = forward(params2, x, spec2)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2_), rtol=1e-4, atol=1e-4)
+
+
 def test_make_anchors():
     anchors, strides = make_anchors([(4, 4), (2, 2)], (8, 16))
     assert anchors.shape == (20, 2)
