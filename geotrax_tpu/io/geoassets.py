@@ -98,14 +98,31 @@ def get_ortho_parameters(
             if not isinstance(tif, TiffImagePlugin.TiffImageFile):
                 logger.error(f"Cannot read GeoTIFF tags from '{base.with_suffix('.tif')}'.")
                 sys.exit(1)
-            tiepoint = tif.tag_v2[33922]
-            scale = tif.tag_v2[33550]
-            lng0, lat0 = float(tiepoint[3]), float(tiepoint[4])
-            dlng, dlat = float(scale[0]), -float(scale[1])
-            skew_x = skew_y = 0.0
-            if 34264 in tif.tag_v2:
-                transform = tif.tag_v2[34264]
-                skew_x, skew_y = float(transform[1]), float(transform[2])
+            tags = tif.tag_v2
+            if 33922 in tags and 33550 in tags:
+                tiepoint = tags[33922]
+                scale = tags[33550]
+                lng0, lat0 = float(tiepoint[3]), float(tiepoint[4])
+                dlng, dlat = float(scale[0]), -float(scale[1])
+                skew_x = skew_y = 0.0
+                if 34264 in tags:
+                    # ModelTransformation is 4x4 row-major: X' row is t[0..3],
+                    # Y' row is t[4..7] — skew_y lives at t[4] (t[2] is the
+                    # always-zero z coefficient of X)
+                    transform = tags[34264]
+                    skew_x, skew_y = float(transform[1]), float(transform[4])
+            elif 34264 in tags:
+                # transformation-only GeoTIFF (e.g. gdalwarp with rotation
+                # writes ModelTransformation INSTEAD of tiepoint+scale)
+                t = tags[34264]
+                dlng, skew_x, lng0 = float(t[0]), float(t[1]), float(t[3])
+                skew_y, dlat, lat0 = float(t[4]), float(t[5]), float(t[7])
+            else:
+                logger.critical(
+                    f"GeoTIFF '{base.with_suffix('.tif')}' has neither "
+                    "ModelTiepoint+ModelPixelScale nor ModelTransformation tags."
+                )
+                sys.exit(1)
         return lng0, lat0, dlng, dlat, skew_x, skew_y
 
     if geo_source == "text-file":

@@ -125,6 +125,10 @@ def native_frames(path: str) -> Iterator[tuple[int, np.ndarray]]:
         while True:
             frame = np.empty((h, w, 3), dtype=np.uint8)
             rc = lib.gtx_read_frame(handle, frame.ctypes.data_as(ctypes.c_void_p))
+            if rc < 0:
+                # decode error (C ABI: 1 = clean EOF, <0 = error) — treating
+                # it as EOF would silently truncate a corrupt video
+                raise OSError(f"native decoder error {rc} at frame {idx} of {path}")
             if rc != 0:
                 break
             yield idx, frame

@@ -94,6 +94,9 @@ def keyframe_indices(path: Path | str, max_count: int = 1 << 20) -> list[int]:
         return []
     import ctypes
 
+    # 2h of all-intra 30fps fits in 2^18 entries (2 MiB) — the previous 2^20
+    # default allocated 8 MiB per call in per-file tool loops
+    max_count = min(max_count, 1 << 18)
     buf = (ctypes.c_long * max_count)()
     n = lib.gtx_keyframe_indices(str(path).encode(), buf, max_count)
     if n < 0:
@@ -129,8 +132,21 @@ class VideoReader:
         self._stop_event = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._started = False
+        self._finished = False
+        self._error: Optional[BaseException] = None
 
     # -- producer -----------------------------------------------------------
+    def _put(self, item) -> bool:
+        """Blocking put that honors the stop event — a plain put() can block
+        forever when close() stops consuming with the queue full."""
+        while not self._stop_event.is_set():
+            try:
+                self._queue.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _produce(self):
         try:
             if self.backend == "native":
@@ -146,9 +162,17 @@ class VideoReader:
                     continue
                 if self.stop is not None and idx >= self.stop:
                     break
-                self._queue.put((idx, frame))
+                if not self._put((idx, frame)):
+                    break
+        except BaseException as exc:  # noqa: BLE001 — re-raised in the consumer
+            # swallowing would make a decode failure look like a clean,
+            # shorter (or empty) video
+            self._error = exc
         finally:
-            self._queue.put(None)  # sentinel
+            try:
+                self._queue.put(None, timeout=1.0)  # sentinel
+            except queue.Full:
+                pass
 
     def _cv2_frames(self):
         import cv2
@@ -167,6 +191,12 @@ class VideoReader:
 
     # -- consumer -----------------------------------------------------------
     def __iter__(self) -> Iterator[tuple[int, np.ndarray]]:
+        if self._finished:
+            # a consumed reader yields nothing more (re-iterating used to
+            # block forever on the empty queue)
+            if self._error is not None:
+                raise self._error
+            return
         if not self._started:
             self._thread = threading.Thread(target=self._produce, daemon=True)
             self._thread.start()
@@ -176,6 +206,9 @@ class VideoReader:
             if item is None:
                 break
             yield item
+        self._finished = True
+        if self._error is not None:
+            raise self._error
 
     def read_frame(self, index: int) -> np.ndarray:
         """Decode a single frame by exact index (sequential walk; used for
@@ -187,12 +220,15 @@ class VideoReader:
     def close(self):
         self._stop_event.set()
         if self._thread is not None:
-            # Drain so the producer can reach the sentinel and exit.
+            # Drain so the producer can reach the sentinel and exit (its put
+            # loop re-checks the stop event, so it cannot re-block).
             try:
                 while True:
                     self._queue.get_nowait()
             except queue.Empty:
                 pass
+            self._thread.join(timeout=2.0)
+        self._finished = True
 
 
 class SyntheticVideoReader:
@@ -297,6 +333,13 @@ class VideoWriter:
 
             lib, handle = self._native
             frame = np.ascontiguousarray(frame_rgb, dtype=np.uint8)
+            if frame.shape != (self.height, self.width, 3):
+                # the C side reads exactly 3*w*h bytes — a smaller frame
+                # would be an out-of-bounds read (cv2 fails safely; match it)
+                raise ValueError(
+                    f"frame shape {frame.shape} != writer "
+                    f"({self.height}, {self.width}, 3)"
+                )
             rc = lib.gtx_enc_write(handle, frame.ctypes.data_as(ctypes.c_void_p))
             if rc < 0:
                 raise OSError(f"Native encoder write failed ({rc}): {self.path}")

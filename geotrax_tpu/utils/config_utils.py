@@ -103,10 +103,19 @@ def load_config(cfg_filepath: Union[str, Path], logger: logging.Logger) -> dict:
     resolved = resolve_config_path(cfg_filepath)
     try:
         with open(resolved, "r") as fh:
-            return yaml.safe_load(fh)
+            cfg = yaml.safe_load(fh)
     except FileNotFoundError:
         logger.critical(f"Configuration file '{cfg_filepath}' not found.")
         sys.exit(1)
+    except yaml.YAMLError as exc:
+        logger.critical(f"Configuration file '{cfg_filepath}' is not valid YAML: {exc}")
+        sys.exit(1)
+    if not isinstance(cfg, dict):
+        # empty / comments-only file parses to None, a list to a list —
+        # neither survives the section lookups downstream
+        logger.critical(f"Configuration file '{cfg_filepath}' has no mapping at top level.")
+        sys.exit(1)
+    return cfg
 
 
 def select_tracker(tracker_section: dict, cfg_name, logger: logging.Logger) -> tuple[str, dict]:
@@ -114,6 +123,12 @@ def select_tracker(tracker_section: dict, cfg_name, logger: logging.Logger) -> t
     active = tracker_section.get("active")
     if active is None:
         logger.critical(f"No 'active' tracker selector in the 'tracker' section of '{cfg_name}'.")
+        sys.exit(1)
+    if active not in TRACKER_CHOICES:
+        logger.critical(
+            f"Unknown tracker '{active}' in '{cfg_name}'. "
+            f"Supported: {list(TRACKER_CHOICES)}."
+        )
         sys.exit(1)
     if active not in tracker_section:
         available = [k for k in tracker_section if k != "active"]

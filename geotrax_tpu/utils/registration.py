@@ -37,7 +37,30 @@ def estimate_homography(
 
     Returns (homography | None, inliers_count, num_matches,
     (src_keypoints, dst_keypoints)).
+
+    Config-surface compatibility: the reference exposes OpenCV backend
+    selectors that have exactly one implementation here (brute-force MXU
+    matching, Lowe ratio filtering, MAGSAC-like soft-scored parallel RANSAC,
+    fixed RootSIFT epsilon) — ``matcher_name``, ``filter_type``,
+    ``sift_enable_precise_upscale``, ``ransac_method``,
+    ``ransac_confidence`` and ``rsift_eps`` are accepted so reference
+    configs load unchanged, but a non-default value cannot change behavior
+    and is reported rather than silently swallowed.
     """
+    inert = {
+        "matcher_name": (matcher_name, "bf"),
+        "filter_type": (filter_type, "ratio"),
+        "sift_enable_precise_upscale": (sift_enable_precise_upscale, True),
+        "ransac_method": (ransac_method, 38),
+        "ransac_confidence": (ransac_confidence, 0.999999),
+        "rsift_eps": (rsift_eps, 1e-8),
+    }
+    for name, (value, default) in inert.items():
+        if value != default:
+            logger.warning(
+                f"registration option '{name}={value}' has no effect on the "
+                "TPU backend (single built-in implementation); proceeding."
+            )
     features = int(max_features)
     while True:
         stab = Stabilizer(
