@@ -169,10 +169,15 @@ class VideoReader:
             # shorter (or empty) video
             self._error = exc
         finally:
-            try:
-                self._queue.put(None, timeout=1.0)  # sentinel
-            except queue.Full:
-                pass
+            # the sentinel must BLOCK until delivered (or the reader is
+            # closing): the producer runs ahead of a slow consumer, so a
+            # timed put could expire against a still-full queue, drop the
+            # sentinel, and leave the consumer waiting forever
+            if not self._put(None):
+                try:
+                    self._queue.put_nowait(None)
+                except queue.Full:
+                    pass
 
     def _cv2_frames(self):
         import cv2

@@ -119,6 +119,16 @@ def extract_videos_batch(sources: list, args, config: dict, logger) -> None:
     detector = impl.load_detector(config, logger)
     max_det = int(config["ultralytics"].get("max_det", 1000) or 1000)
 
+    # same config backfill as the sequential run_extraction — without it the
+    # parallel pre-pass ignored cfg cut frames / interpolation while the
+    # leftover videos honored them, diverging within one batch run
+    from geotrax_tpu.utils.config_utils import backfill_args_from_config
+
+    backfill_args_from_config(args, {
+        "cut_frame_left": main["processing"]["cut_frame_left"],
+        "cut_frame_right": main["processing"]["cut_frame_right"],
+        "interpolate": main["extraction"]["interpolate"],
+    })
     cut_left = int(args.cut_frame_left or 0)
     cut_right = args.cut_frame_right
     readers = [impl.open_reader(s, cut_left, cut_right, config) for s in sources]
@@ -159,11 +169,20 @@ def extract_videos_batch(sources: list, args, config: dict, logger) -> None:
             )
 
     use_gmc = bool(getattr(tracker_cfg, "use_gmc", False))
+    with_reid = bool(getattr(tracker_cfg, "with_reid", False))
+    reid_params = None
+    if with_reid:
+        from geotrax_tpu.track.reid import resolve_head
+
+        reid_params = resolve_head(main["tracker_params"], logger)
 
     @jax.jit
-    def tracker_vstep(states, boxes, scores, cls_, valid, alive_mask, frame_id, gmc):
-        def one(s, b, sc, c, v, g, al):
-            s2, out = tracker_step(s, b, sc, c, v, frame_id, g if use_gmc else None)
+    def tracker_vstep(states, boxes, scores, cls_, valid, alive_mask, frame_id,
+                      gmc, emb):
+        def one(s, b, sc, c, v, g, al, e):
+            s2, out = tracker_step(s, b, sc, c, v, frame_id,
+                                   g if use_gmc else None,
+                                   det_emb=e if with_reid else None)
             s3 = jax.tree.map(
                 lambda new, old: jnp.where(
                     al.reshape((1,) * new.ndim) if new.ndim else al, new, old
@@ -172,12 +191,15 @@ def extract_videos_batch(sources: list, args, config: dict, logger) -> None:
             )
             return s3, out._replace(valid=out.valid & al)
 
-        return jax.vmap(one)(states, boxes, scores, cls_, valid, gmc, alive_mask)
+        return jax.vmap(one)(states, boxes, scores, cls_, valid, gmc,
+                             alive_mask, emb)
 
     stab = None
-    mask_slots = 256
     if stabilize_on:
         stab = BatchStabilizer(num_videos, config.get("stabilo", {}))
+    # box-mask capacity: match the sequential Stabilizer (a smaller cap let
+    # features on truncated vehicles bias the homography, stabilizer.py)
+    mask_slots = stab.proto.mask_slots if stab is not None else 1024
 
     rows = [[] for _ in range(num_videos)]
     transforms = [[] for _ in range(num_videos)]
@@ -231,17 +253,38 @@ def extract_videos_batch(sources: list, args, config: dict, logger) -> None:
                 h_arr, inliers, _ = stab.stabilize_batch(stacked, padded, live_idx)
                 for p, v in enumerate(live_idx):
                     h_cur[v] = h_arr[p]
+                    if inliers[p] == 0:
+                        # mirror the sequential path's per-frame warning —
+                        # a silent identity substitution hides a collapsed
+                        # stabilization from anyone auditing the outputs
+                        logger.warning(
+                            f"Frame {frame_idx}, video {v}: stabilization "
+                            "failed; identity used."
+                        )
                     transforms[v].append(
                         np.concatenate([[frame_idx], h_arr[p].reshape(-1)])
                     )
 
         internal_frame = frame_idx - cut_left + 1
+        # appearance embeddings for ReID trackers (the sequential paths
+        # compute these; omitting them silently disabled with_reid here)
+        emb_np = None
+        if with_reid:
+            from geotrax_tpu.pipeline.device_pipeline import embed_boxes
+
+            emb_np = np.asarray(embed_boxes(
+                stacked, jnp.asarray(det_np["boxes_xywh"]),
+                head_params=reid_params,
+            ))
         # scatter live detections into full-V arrays (dead rows invalid)
         md = det_np["boxes_xywh"].shape[1]
         full_b = np.zeros((num_videos, md, 4), np.float32)
         full_s = np.zeros((num_videos, md), np.float32)
         full_c = np.full((num_videos, md), -1, np.int32)
         full_v = np.zeros((num_videos, md), bool)
+        from geotrax_tpu.track.base import EMB_DIM
+
+        full_e = np.zeros((num_videos, md, EMB_DIM), np.float32) if with_reid else None
         gmc_all = np.tile(np.eye(3, dtype=np.float32)[None], (num_videos, 1, 1))
         alive_mask = np.zeros((num_videos,), bool)
         for p, v in enumerate(live_idx):
@@ -249,6 +292,8 @@ def extract_videos_batch(sources: list, args, config: dict, logger) -> None:
             full_s[v] = det_np["scores"][p]
             full_c[v] = det_np["classes"][p]
             full_v[v] = det_np["valid"][p]
+            if full_e is not None:
+                full_e[v] = emb_np[p]
             alive_mask[v] = True
             if not first:
                 try:
@@ -259,10 +304,12 @@ def extract_videos_batch(sources: list, args, config: dict, logger) -> None:
                     )
             h_prev[v] = h_cur[v]
 
+        if full_e is None:
+            full_e = np.zeros((num_videos, md, EMB_DIM), np.float32)
         vstates, out = tracker_vstep(
             vstates, jnp.asarray(full_b), jnp.asarray(full_s), jnp.asarray(full_c),
             jnp.asarray(full_v), jnp.asarray(alive_mask), internal_frame,
-            jnp.asarray(gmc_all),
+            jnp.asarray(gmc_all), jnp.asarray(full_e),
         )
         out_np = jax.device_get(out)
         for v in live_idx:

@@ -114,11 +114,14 @@ def shard_batch(batch, mesh: Mesh):
     )
 
 
-def make_train_step(spec, tx, mesh: Mesh):
+def make_train_step(spec, tx, mesh: Mesh, box_gain: float = 7.5,
+                    cls_gain: float = 0.5, dfl_gain: float = 1.5):
     """Build a jitted, mesh-sharded full training step:
     loss -> grads -> optimizer update, with params tensor-parallel and the
     batch data-parallel. Returns step(params, opt_state, batch) ->
-    (params, opt_state, metrics)."""
+    (params, opt_state, metrics). The gain knobs mirror cfg ultralytics
+    box/cls/dfl so train.py can use THIS step (one implementation, not an
+    inline divergent copy)."""
     from geotrax_tpu.models.loss import detection_loss
 
     def constrain(params):
@@ -141,7 +144,7 @@ def make_train_step(spec, tx, mesh: Mesh):
         def loss_fn(p):
             return detection_loss(
                 p, batch["images"], batch["gt_boxes"], batch["gt_cls"],
-                batch["gt_mask"], spec,
+                batch["gt_mask"], spec, box_gain, cls_gain, dfl_gain,
             )
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

@@ -109,12 +109,27 @@ class Loader:
         self.seed = seed
 
     def __len__(self):
-        return max(1, len(self.samples) // self.batch_size)
+        n = len(self.samples)
+        if self.training:
+            return max(1, n // self.batch_size)
+        return -(-n // self.batch_size)  # ceil: validation sees EVERY image
 
     def epoch(self, epoch_idx: int = 0) -> Iterator[dict]:
         rng = np.random.default_rng(self.seed + epoch_idx)
-        order = rng.permutation(len(self.samples)) if self.training else np.arange(len(self.samples))
-        for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
+        n = len(self.samples)
+        order = rng.permutation(n) if self.training else np.arange(n)
+        if self.training:
+            if n < self.batch_size:
+                # tiny (smoke) datasets: fill one batch with replacement so
+                # an epoch is never silently zero steps (NaN mean loss)
+                order = rng.choice(n, size=self.batch_size, replace=True)
+            # drop-last like the ultralytics trainer (stable shapes)
+            starts = range(0, len(order) - self.batch_size + 1, self.batch_size)
+        else:
+            # validation must score every image: the tail batch is padded to
+            # full shape; n_valid tells the consumer how many rows are real
+            starts = range(0, n, self.batch_size)
+        for start in starts:
             idx = order[start:start + self.batch_size]
             images = np.zeros((self.batch_size, self.imgsz, self.imgsz, 3), np.float32)
             gt_boxes = np.zeros((self.batch_size, self.max_gt, 4), np.float32)
@@ -136,4 +151,5 @@ class Loader:
             yield {
                 "images": images, "gt_boxes": gt_boxes,
                 "gt_cls": gt_cls, "gt_mask": gt_mask,
+                "n_valid": len(idx),
             }

@@ -85,8 +85,14 @@ def evaluate_detections(predictions: list, ground_truths: list, num_classes: int
                     fp[ri] = 1
                     continue
                 ious = _iou_np(_xywh_to_xyxy(box[None]), _xywh_to_xyxy(g))[0]
-                best = int(np.argmax(ious))
-                if ious[best] >= thr and not matched[img_idx][best]:
+                # best UNMATCHED GT above threshold (COCO/ultralytics): the
+                # plain argmax could point at an already-matched GT while a
+                # second overlapping GT was still free — undercounting TPs
+                # in exactly the dense-traffic scenes this dataset is about
+                free = ~matched[img_idx]
+                cand = np.where(free, ious, -1.0)
+                best = int(np.argmax(cand))
+                if cand[best] >= thr:
                     matched[img_idx][best] = True
                     tp[ri] = 1
                 else:
@@ -97,8 +103,13 @@ def evaluate_detections(predictions: list, ground_truths: list, num_classes: int
             precision = cum_tp / np.maximum(cum_tp + cum_fp, 1e-9)
             ap_table[ti, c] = _average_precision(recall, precision)
             if ti == 0 and len(records):
-                p_at_50[c] = precision[-1]
-                r_at_50[c] = recall[-1]
+                # report P/R at the max-F1 point of the curve (ultralytics
+                # semantics), not at the 0.001-conf tail where cumulative
+                # precision collapses for any model with low-conf noise
+                f1 = 2 * precision * recall / np.maximum(precision + recall, 1e-9)
+                best_op = int(np.argmax(f1))
+                p_at_50[c] = precision[best_op]
+                r_at_50[c] = recall[best_op]
 
     valid = class_has_gt
     return {

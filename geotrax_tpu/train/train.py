@@ -39,14 +39,18 @@ def build_lr_schedule(lr0: float, lrf: float, warmup_steps: int, total_steps: in
     )
 
 
-def evaluate(params, spec, loader, conf=0.001, iou=0.7, max_det=300) -> dict:
-    """Run validation and compute the detection metrics."""
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4)
+def _make_infer(spec, conf: float, iou: float, max_det: int):
+    """One jitted val-inference function per (spec, thresholds) — defining it
+    inside evaluate() re-traced and re-compiled the whole forward+NMS graph
+    every epoch (tens of seconds each on TPU)."""
     import jax
-    import jax.numpy as jnp
 
     from geotrax_tpu.models import yolov8
     from geotrax_tpu.ops.nms import postprocess_detections
-    from geotrax_tpu.train.metrics import evaluate_detections
 
     @jax.jit
     def infer(p, images):
@@ -55,11 +59,23 @@ def evaluate(params, spec, loader, conf=0.001, iou=0.7, max_det=300) -> dict:
             lambda b, pr: postprocess_detections(b, pr, conf, iou, max_det, agnostic=False)
         )(boxes, probs)
 
+    return infer
+
+
+def evaluate(params, spec, loader, conf=0.001, iou=0.7, max_det=300) -> dict:
+    """Run validation and compute the detection metrics."""
+    import jax
+    import jax.numpy as jnp
+
+    from geotrax_tpu.train.metrics import evaluate_detections
+
+    infer = _make_infer(spec, conf, iou, max_det)
     predictions, ground_truths = [], []
     for batch in loader.epoch(0):
         det = infer(params, jnp.asarray(batch["images"]))
         det = jax.tree.map(np.asarray, det)
-        for i in range(len(batch["images"])):
+        # padded tail rows (validation ceil-batching) carry no real image
+        for i in range(int(batch.get("n_valid", len(batch["images"])))):
             valid = det["valid"][i]
             predictions.append({
                 "boxes_xywh": det["boxes_xywh"][i][valid],
@@ -137,22 +153,14 @@ def train(args, logger=None) -> dict:
         mesh = make_hybrid_mesh(args.slices, args.devices)
     else:
         mesh = make_mesh(args.devices)
-    from geotrax_tpu.models.loss import detection_loss
+    from geotrax_tpu.parallel import make_train_step
 
     box_gain = float(hp.get("box", 7.5))
     cls_gain = float(hp.get("cls", 0.5))
     dfl_gain = float(hp.get("dfl", 1.5))
-
-    def step_fn(p, opt_state, b):
-        def loss_fn(pp):
-            return detection_loss(pp, b["images"], b["gt_boxes"], b["gt_cls"],
-                                  b["gt_mask"], spec, box_gain, cls_gain, dfl_gain)
-
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
-        updates, opt_state = tx.update(grads, opt_state, p)
-        return jax.tree.map(lambda a, u: a + u, p, updates), opt_state, metrics
-
-    step = jax.jit(step_fn, donate_argnums=(0, 1))
+    # the ONE sharded train step (parallel/mesh.py) — an inline copy here
+    # had already drifted (it dropped the sharding constraints)
+    step = make_train_step(spec, tx, mesh, box_gain, cls_gain, dfl_gain)
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -163,7 +171,17 @@ def train(args, logger=None) -> dict:
     # results.csv + metrics.jsonl + TensorBoard events, flushed per epoch
     from geotrax_tpu.train.runlog import RunLogger
 
-    runlog = RunLogger(out_dir, enable_tensorboard=not getattr(args, "no_tb", False))
+    if jax.process_index() == 0:
+        runlog = RunLogger(out_dir, enable_tensorboard=not getattr(args, "no_tb", False))
+    else:  # secondary pod workers: no filesystem writes
+        class _NullLog:
+            def log_epoch(self, *a, **k):
+                pass
+
+            def close(self):
+                pass
+
+        runlog = _NullLog()
 
     with mesh:
         params = shard_params(params, mesh)
@@ -172,6 +190,7 @@ def train(args, logger=None) -> dict:
             t0 = time.time()
             losses = []
             for batch_np in train_loader.epoch(epoch):
+                batch_np.pop("n_valid", None)  # loader bookkeeping, not data
                 b = shard_batch(jax.tree.map(jnp.asarray, batch_np), mesh)
                 params, opt_state, metrics = step(params, opt_state, b)
                 losses.append(float(metrics["loss"]))
@@ -190,18 +209,32 @@ def train(args, logger=None) -> dict:
                 f"({time.time() - t0:.1f}s)"
             )
 
-            host_params = jax.tree.map(np.asarray, params)
-            save_npz(out_dir / "last.npz", host_params,
-                     class_names={i: str(i) for i in range(spec.nc)},
-                     variant=spec.variant, nc=spec.nc, reg_max=spec.reg_max,
-                     p2=int(spec.p2))
+            # tensor-parallel shards can span hosts: replicate on device
+            # first (np.asarray on a non-addressable jax.Array raises), and
+            # let only process 0 write — N workers racing on one shared
+            # last.npz/results.csv corrupts both
+            if jax.process_count() > 1:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                rep = jax.jit(lambda p: p,
+                              out_shardings=NamedSharding(mesh, PartitionSpec()))
+                host_params = jax.tree.map(np.asarray, rep(params))
+            else:
+                host_params = jax.tree.map(np.asarray, params)
+            is_writer = jax.process_index() == 0
+            if is_writer:
+                save_npz(out_dir / "last.npz", host_params,
+                         class_names={i: str(i) for i in range(spec.nc)},
+                         variant=spec.variant, nc=spec.nc, reg_max=spec.reg_max,
+                         p2=int(spec.p2))
             if val["map50"] > best_map:
                 best_map = val["map50"]
                 bad_epochs = 0
-                save_npz(out_dir / "best.npz", host_params,
-                         class_names={i: str(i) for i in range(spec.nc)},
-                         variant=spec.variant, nc=spec.nc, reg_max=spec.reg_max,
-                     p2=int(spec.p2))
+                if is_writer:
+                    save_npz(out_dir / "best.npz", host_params,
+                             class_names={i: str(i) for i in range(spec.nc)},
+                             variant=spec.variant, nc=spec.nc, reg_max=spec.reg_max,
+                             p2=int(spec.p2))
             else:
                 bad_epochs += 1
                 if bad_epochs >= patience:
@@ -209,7 +242,8 @@ def train(args, logger=None) -> dict:
                     break
 
     runlog.close()
-    (out_dir / "history.json").write_text(json.dumps(history, indent=2))
+    if jax.process_index() == 0:
+        (out_dir / "history.json").write_text(json.dumps(history, indent=2))
     logger.notice(f"Training done: best mAP@50 {best_map:.4f}; checkpoints in '{out_dir}'.")
     return {"best_map50": best_map, "history": history}
 
@@ -248,7 +282,9 @@ def main():
     if args.multihost or os.environ.get("GEOTRAX_MULTIHOST"):
         # pod-slice scale-out (the reference's SLURM wrapper analog,
         # train/launch.sh): jax.distributed wires all workers into one
-        # global device mesh; the data loader shards per process index.
+        # global device mesh. Every host decodes the full global batch and
+        # shard_batch places each host's addressable shard — redundant IO,
+        # correct results; per-process loader sharding is a future lever.
         import jax
 
         jax.distributed.initialize()

@@ -39,6 +39,36 @@ def test_reader_full_and_windowed(sample_video):
     np.testing.assert_array_equal(window[0][1], frames[3][1])
 
 
+def test_reader_slow_consumer_gets_sentinel(sample_video):
+    """A consumer slower than the producer must still terminate: the
+    producer finishes with the prefetch queue full, and its end-of-stream
+    sentinel has to wait for a slot rather than being dropped on a timeout
+    (a dropped sentinel left the consumer blocked forever)."""
+    import threading
+    import time
+
+    seen = []
+
+    def consume():
+        for idx, _ in VideoReader(sample_video, prefetch=1):
+            seen.append(idx)
+            time.sleep(0.25)  # slower than decode; producer ends far ahead
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=30)
+    assert not t.is_alive(), "consumer never saw the end-of-stream sentinel"
+    assert seen == list(range(12))
+
+
+def test_reader_reiterate_after_consume(sample_video):
+    """Iterating a fully-consumed reader again returns immediately instead
+    of blocking on the empty queue."""
+    r = VideoReader(sample_video)
+    assert len(list(r)) == 12
+    assert list(r) == []
+
+
 def test_native_backend_matches_cv2(sample_video):
     from geotrax_tpu.io.native import load_library
 
