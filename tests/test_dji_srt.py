@@ -162,3 +162,53 @@ def test_cut_tool_auto_with_srt_and_locations(tmp_path):
     df = pd.read_csv(csvs[0])
     assert df["frame"].iloc[0] == 0
     assert {"latitude", "longitude"} <= set(df.columns)
+
+
+def test_flight_log_normalizes_vendor_csv(tmp_path):
+    """A vendor per-part CSV ('lat'/'altitude'/'FrameCnt') resolves and is
+    normalized to canonical columns, so --min-alt filters apply to it."""
+    import pandas as pd
+
+    video = tmp_path / "clip.mp4"
+    video.touch()
+    pd.DataFrame(
+        {"FrameCnt": [0, 1], "lat": [37.38, 37.39],
+         "longtitude": [126.65, 126.66], "altitude": [148.8, 10.0]}
+    ).to_csv(video.with_suffix(".csv"), index=False)
+    df = dji_srt.flight_log(video)
+    assert df is not None
+    for col in ("frame", "latitude", "longitude", "rel_alt"):
+        assert col in df.columns
+    assert df["rel_alt"].iloc[1] == pytest.approx(10.0)
+
+
+def test_flight_log_unusable_srt_falls_back_to_csv(tmp_path):
+    """A corrupt/empty .srt next to a valid cut-tool .csv must not exclude
+    the video: usability (not mere existence) gates the fallback."""
+    import pandas as pd
+
+    video = tmp_path / "clip.mp4"
+    video.touch()
+    video.with_suffix(".srt").write_text("")  # zero-usable SRT
+    pd.DataFrame({"frame": [0, 1], "rel_alt": [148.8, 148.9]}).to_csv(
+        video.with_suffix(".csv"), index=False
+    )
+    df = dji_srt.flight_log(video, prefer="srt")
+    assert df is not None and list(df["frame"]) == [0, 1]
+    assert dji_srt.flight_log(tmp_path / "nothing.mp4") is None
+
+
+def test_flight_log_prefer_csv(tmp_path):
+    """prefer='csv' (cut tool) takes the rebased .csv over the raw .srt."""
+    import pandas as pd
+
+    video = tmp_path / "clip.mp4"
+    video.touch()
+    video.with_suffix(".srt").write_text(MAVIC3_BLOCK)
+    pd.DataFrame({"frame": [7], "rel_alt": [99.0]}).to_csv(
+        video.with_suffix(".csv"), index=False
+    )
+    df = dji_srt.flight_log(video, prefer="csv")
+    assert list(df["frame"]) == [7]
+    df2 = dji_srt.flight_log(video, prefer="srt")
+    assert list(df2["frame"]) == [0]

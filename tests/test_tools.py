@@ -187,21 +187,81 @@ def test_interpolate_missing_timestamps(tmp_path):
 
 def test_check_dataset(tmp_path):
     pd.DataFrame({
-        "Vehicle_ID": [1, 2], "Vehicle_Speed": [150.0, 50.0],
-        "Vehicle_Acceleration": [1.0, -14.0],
+        # vehicle 1 speeds twice: the report keeps only its WORST row
+        "Vehicle_ID": [1, 1, 2], "Vehicle_Speed": [150.0, 160.0, 50.0],
+        "Vehicle_Acceleration": [1.0, 0.5, -14.0],
     }).to_csv(tmp_path / "d.csv", index=False)
-    result = run_tool("check_dataset.py", tmp_path / "d.csv")
+    result = run_tool("check_dataset.py", tmp_path / "d.csv", "--no-trace")
     assert result.returncode == 0
     assert "speed > 130" in result.stdout
-    assert "[1]" in result.stdout and "[2]" in result.stdout
+    assert "160" in result.stdout and "150" not in result.stdout  # per-vehicle max
+    assert "-14" in result.stdout
+    assert "2 violating" in result.stdout
 
 
-def test_analyze_bb_ratios(tmp_path):
+def test_check_dataset_traces_source_video(tmp_path):
+    """Violations in an aggregated dataset CSV are traced back through the
+    aggregation ID offsets to the original id and source video
+    (reference check_dataset.py:148-205 + find_source_id)."""
+    base = tmp_path / "PROCESSED" / "2022-10-07" / "D3" / "PM5" / "results"
+    base.mkdir(parents=True)
+    pd.DataFrame({"Vehicle_ID": [1, 2, 3]}).to_csv(base / "U_a.csv", index=False)
+    base2 = tmp_path / "PROCESSED" / "2022-10-07" / "D10" / "PM5" / "results"
+    base2.mkdir(parents=True)
+    pd.DataFrame({"Vehicle_ID": [1, 2]}).to_csv(base2 / "U_b.csv", index=False)
+    (base2.parent / "U_b.mp4").touch()  # the source clip next to results/
+    dataset = tmp_path / "DATASET"
+    dataset.mkdir()
+    # aggregated ID 4 = original 1 of the second (D10) source
+    pd.DataFrame({
+        "Vehicle_ID": [4], "Vehicle_Speed": [150.0], "Vehicle_Acceleration": [0.0],
+    }).to_csv(dataset / "2022-10-07_U_PM5.csv", index=False)
+    result = run_tool("check_dataset.py", dataset / "2022-10-07_U_PM5.csv")
+    assert result.returncode == 0, result.stderr
+    assert "U_b.mp4" in result.stdout
+    out_line = [ln for ln in result.stdout.splitlines() if "U_b.mp4" in ln][0]
+    assert " 1 " in out_line  # Source_ID column carries the original id
+
+
+def test_find_source_id_dataset_csv_mode(tmp_path):
+    base = tmp_path / "PROCESSED" / "2022-10-07" / "D3" / "PM5" / "results"
+    base.mkdir(parents=True)
+    pd.DataFrame({"Vehicle_ID": [1, 2, 3]}).to_csv(base / "U_a.csv", index=False)
+    dataset = tmp_path / "DATASET"
+    dataset.mkdir()
+    (dataset / "2022-10-07_U_PM5.csv").touch()
+    result = run_tool("find_source_id.py", "--dataset-csv",
+                      dataset / "2022-10-07_U_PM5.csv", "2")
+    assert result.returncode == 0, result.stderr
+    assert "U_a" in result.stdout and "original id 2" in result.stdout
+
+
+def test_analyze_bb_ratios_labels_mode(tmp_path):
     (tmp_path / "a.txt").write_text("0 0.5 0.5 0.4 0.2\n1 0.5 0.5 0.3 0.1\n")
-    result = run_tool("analyze_bb_ratios.py", tmp_path)
+    result = run_tool("analyze_bb_ratios.py", tmp_path, "--labels")
     assert result.returncode == 0, result.stderr
     assert "car" in result.stdout and "2.00" in result.stdout
     assert "bus" in result.stdout and "3.00" in result.stdout
+
+
+def test_analyze_bb_ratios_tracks_mode(tmp_path):
+    """Reference mode: tracks re-estimated under the restrictive thresholds;
+    only the moving (cardinal-pass) vehicle contributes its L/W ratio."""
+    results = tmp_path / "results"
+    results.mkdir()
+    rows = []
+    for t in range(30):
+        x = 500.0 + 50 * t  # clean +x cardinal pass
+        rows.append([t, 1, x, 500, 60, 25, x, 500, 60, 25, 0, 0.9])
+        rows.append([t, 2, 2000, 800, 50, 30, 2000, 800, 50, 30, 0, 0.9])  # parked
+    np.savetxt(results / "V.txt", np.array(rows), fmt="%g", delimiter=",")
+    (tmp_path / "V.yaml").write_text("video:\n  width: 3840\n  height: 2160\n")
+    result = run_tool("analyze_bb_ratios.py", tmp_path, "--hist")
+    assert result.returncode == 0, result.stderr
+    assert "Class: car" in result.stdout
+    assert "N: 1" in result.stdout          # parked vehicle filtered out
+    assert "Mean: 2.40" in result.stdout    # 60/25
+    assert (tmp_path / "plots" / "bb_ratio_hist_car.pdf").exists()
 
 
 def test_compare_tracking(tmp_path):

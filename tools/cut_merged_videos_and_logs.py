@@ -47,15 +47,12 @@ def nearest_location(locations: dict, lat: float, lon: float) -> str:
 
 
 def load_flight_log(video: Path, parser) -> pd.DataFrame:
-    """Flight log for a merged video: <stem>.csv when present, else the
-    merged .srt telemetry."""
-    log_path = video.with_suffix(".csv")
-    if log_path.exists():
-        return pd.read_csv(log_path)
-    srt_path = dji_srt.companion_srt(video)
-    if srt_path is not None:
-        return dji_srt.srt_dataframe(dji_srt.read_srt(srt_path))
-    parser.error(f"--auto needs a flight log next to {video} (.csv or .srt)")
+    """Flight log for a merged video: <stem>.csv when usable, else the
+    merged .srt telemetry (shared resolver, columns normalized)."""
+    log = dji_srt.flight_log(video, prefer="csv")
+    if log is None:
+        parser.error(f"--auto needs a usable flight log next to {video} (.csv or .srt)")
+    return log
 
 
 def hover_segments(log: pd.DataFrame, min_frames: int = 300,

@@ -171,3 +171,59 @@ def companion_srt(video: Path) -> Path | None:
             if cand.exists():
                 return cand
     return None
+
+
+# the frame counter isn't telemetry, but vendor CSVs spell it differently too
+_FRAME_ALIASES = ("frame", "framecnt", "frame_cnt", "frame_index", "frame_no")
+
+
+def normalize_log_columns(df):
+    """Rename a flight-log DataFrame's columns to the canonical spellings of
+    FIELD_ALIASES (+ 'frame'): vendor per-part CSVs that
+    merge_videos_and_logs concatenates verbatim use 'altitude'/'lat'/… ."""
+    lower = {c.lower(): c for c in df.columns}
+    rename = {}
+    for canonical, aliases in list(FIELD_ALIASES.items()) + [("frame", _FRAME_ALIASES)]:
+        if canonical in df.columns:
+            continue
+        for a in aliases:
+            if a in lower:
+                rename[lower[a]] = canonical
+                break
+    return df.rename(columns=rename) if rename else df
+
+
+def flight_log(video: Path, prefer: str = "srt"):
+    """Per-frame flight-log table for a video from its companion .srt or
+    .csv — whichever exists and parses usably — with columns normalized to
+    canonical spellings. prefer='csv' consults the .csv first (cut-tool CSVs
+    carry rebased frame counters). A source that exists but yields no usable
+    table (unreadable, empty, or no 'frame' column) falls through to the
+    other; returns None when neither is usable."""
+    import pandas as pd
+
+    video = Path(video)
+
+    def _csv():
+        p = video.with_suffix(".csv")
+        if not p.exists():
+            return None
+        try:
+            return normalize_log_columns(pd.read_csv(p))
+        except Exception:
+            return None
+
+    def _srt():
+        p = companion_srt(video)
+        if p is None:
+            return None
+        try:
+            return srt_dataframe(read_srt(p))
+        except Exception:
+            return None
+
+    for source in (_csv, _srt) if prefer == "csv" else (_srt, _csv):
+        df = source()
+        if df is not None and len(df) and "frame" in df.columns:
+            return df
+    return None

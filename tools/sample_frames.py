@@ -69,22 +69,10 @@ def parse_filters(strings: list[str] | None) -> dict[str, tuple[float | None, fl
 def flight_log_frame(video: Path, want_csv: bool):
     """The per-frame flight-log table for a video: the companion .csv when
     --csv-filter is active, else the parsed DJI SRT falling back to the
-    companion .csv (cut clips carry only the .csv log the cut tool wrote,
-    with the same column spellings); None when no log is usable."""
-    def _csv():
-        csv = video.with_suffix(".csv")
-        if not csv.exists():
-            return None
-        import pandas as pd
-
-        return pd.read_csv(csv)
-
-    if want_csv:
-        return _csv()
-    srt = dji_srt.companion_srt(video)
-    if srt is not None:
-        return dji_srt.srt_dataframe(dji_srt.read_srt(srt))
-    return _csv()
+    companion .csv (cut clips carry only the .csv log the cut tool wrote).
+    Columns are normalized to dji_srt's canonical spellings either way;
+    None when no log is usable."""
+    return dji_srt.flight_log(video, prefer="csv" if want_csv else "srt")
 
 
 def filtered_pool(video: Path, total: int, filters, want_csv: bool) -> np.ndarray | None:

@@ -141,21 +141,21 @@ def process_ortho(args, logger) -> int:
 
     half = args.crop_size // 2
     failed = 0
+    from PIL import Image
+
     for location, (p_x, p_y) in centers.items():
         try:
             cropped = mosaic.crop(p_y - half, p_x - half,
                                   args.crop_size, args.crop_size)
-        except ValueError as exc:
+            resized = _downscale(cropped, args.scale_factor)
+            Image.fromarray(np.ascontiguousarray(resized)).save(out / f"{location}.png")
+        except (ValueError, OSError) as exc:
             logger.error(f"{location}: {exc}")
             failed += 1
             continue
-        # only after a successful crop: a dangling <loc>_center.txt without
-        # its .png would feed the georeference stage a half-built location
+        # only after the .png is on disk: a dangling <loc>_center.txt without
+        # its image would feed the georeference stage a half-built location
         np.savetxt(out / f"{location}_center.txt", np.array([p_x, p_y]))
-        resized = _downscale(cropped, args.scale_factor)
-        from PIL import Image
-
-        Image.fromarray(np.ascontiguousarray(resized)).save(out / f"{location}.png")
         logger.notice(f"Processed and saved orthophoto for intersection: {location}")
     return 1 if failed else 0
 
