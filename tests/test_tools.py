@@ -272,7 +272,7 @@ def test_compare_tracking(tmp_path):
         np.savetxt(d / "V.txt", np.array(rows), fmt="%g", delimiter=",")
     result = run_tool("compare_tracking.py", tmp_path / "a", tmp_path / "b")
     assert result.returncode == 0, result.stderr
-    assert "KL(" in result.stdout
+    assert "KL[lengths](" in result.stdout
     assert "1 tracks" in result.stdout
 
 

@@ -90,11 +90,18 @@ def main() -> int:
             dist = ", ".join(f"{c}: {n}" for c, n in sorted(s_["classes"].items()))
             print(f"  {folder.name} class distribution: {dist}")
 
+    # pairwise KL over BOTH metrics the reference analyzes: trajectory
+    # lengths and per-vehicle missing-frame counts (reference
+    # compare_tracking.py:148-176 runs print_metric_analysis on each)
     folders = [f for f in args.folders if len(stats[f]["lengths"])]
-    for i in range(len(folders)):
-        for j in range(i + 1, len(folders)):
-            kl = kl_divergence(stats[folders[i]]["lengths"], stats[folders[j]]["lengths"])
-            print(f"KL({folders[i].name} || {folders[j].name}) = {kl:.4f}")
+    for metric in ("lengths", "gaps"):
+        for i in range(len(folders)):
+            for j in range(i + 1, len(folders)):
+                a, b = stats[folders[i]][metric], stats[folders[j]][metric]
+                if not (len(a) and len(b)):
+                    continue
+                kl = kl_divergence(a, b)
+                print(f"KL[{metric}]({folders[i].name} || {folders[j].name}) = {kl:.4f}")
 
     if args.plot and folders:
         import matplotlib
