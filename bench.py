@@ -2,6 +2,20 @@
 plus the FULL decode -> detect -> track -> stabilize -> georeference chain on
 a real encoded 4K clip (the BASELINE.json metric scope).
 
+UN-KILLABLE BY DESIGN (round-3 postmortem: BENCH_r03.json rc=124, no number
+captured because the fused-program compile outran the driver budget before
+the first print). The driver-facing process is a thin SUPERVISOR: it spawns
+the measurement as a child process, relays every contract-JSON line the child
+prints the moment it lands, and enforces a hard deadline
+(GTX_BENCH_DEADLINE_S, default 780 s) with SIGKILL — a deadline that works
+even while the child is blocked inside a minutes-long XLA compile, which an
+in-process SIGALRM cannot preempt. The child prints the headline JSON
+immediately after the FIRST timed measurement and reprints refined lines as
+extras land, so the LAST printed line is always the best-known complete
+contract {"metric", "value", "unit", "vs_baseline", ...}. Whatever happens —
+compile-cache miss, e2e failure, deadline — the supervisor exits 0 with at
+least one parseable line on stdout.
+
 Headline (compute path): the fused extraction chunk step
 (pipeline/device_pipeline.py) on device-resident synthetic 4K frames —
 letterbox, YOLOv8s forward (bf16 params + activations, f32 accumulation),
@@ -33,21 +47,26 @@ ran at or below realtime on 4K.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 BASELINE_FPS = 30000 / 1001  # 4K capture realtime
 CHUNK = 32
 SRC_H, SRC_W = 2160, 3840
+DEADLINE_S = float(os.environ.get("GTX_BENCH_DEADLINE_S", "780"))
+T0 = time.monotonic()
 
-# persistent compilation cache: the fused 4K program costs minutes to build;
-# repeated driver runs (and the e2e stage below) reuse it across processes
-jax.config.update("jax_compilation_cache_dir", "/tmp/geotrax_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+if "--worker" in sys.argv:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    # persistent compilation cache: the fused 4K program costs minutes to
+    # build; repeated driver runs (and the e2e stage below) reuse it across
+    # processes
+    jax.config.update("jax_compilation_cache_dir", "/tmp/geotrax_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 def make_detector():
@@ -110,37 +129,46 @@ def build(stabilize: bool):
     )
 
 
-def run_fps(fx, base_frames, n_chunks: int = 10) -> float:
+def _fetch(o) -> float:
+    # trustworthy completion barrier on the axon tunnel: block_until_ready
+    # can return on a fire-ahead ack before the computation lands, so the
+    # only reliable fence is a host VALUE fetch consumed by Python. The
+    # reduction runs ON DEVICE so only a scalar crosses the tunnel —
+    # fetching a whole array would bill ~100 ms of dev-tunnel transfer
+    # (not a cost real PCIe hosts pay) to the compute measurement.
+    return float(jnp.sum(o.h) + jnp.sum(o.box_xywh))
+
+
+def warmup(fx, base_frames) -> float:
+    """Two chunks: compile (one fused program) + first-dispatch handshake.
+    Returns the warmup wall (dominated by XLA compile on a cache miss)."""
     jitter_fn = jax.jit(
         lambda k: jax.random.randint(k, (CHUNK, 1, 1, 1), 0, 8, dtype=jnp.uint8)
     )
     fids = np.arange(1, CHUNK + 1)
-
-    def fetch(o):
-        # trustworthy completion barrier on the axon tunnel: block_until_ready
-        # can return on a fire-ahead ack before the computation lands, so the
-        # only reliable fence is a host VALUE fetch consumed by Python. The
-        # reduction runs ON DEVICE so only a scalar crosses the tunnel —
-        # fetching a whole array would bill ~100 ms of dev-tunnel transfer
-        # (not a cost real PCIe hosts pay) to the compute measurement.
-        return float(jnp.sum(o.h) + jnp.sum(o.box_xywh))
-
-    # warmup compiles both chunk variants (and absorbs the ~30 s first-dispatch
-    # handshake a fresh process pays on this tunnel)
+    t0 = time.perf_counter()
     out = fx.process_chunk(base_frames + jitter_fn(jax.random.PRNGKey(0)), fids, CHUNK)
-    fetch(out)
+    _fetch(out)
     out = fx.process_chunk(base_frames + jitter_fn(jax.random.PRNGKey(1)),
                            fids + CHUNK, CHUNK)
-    fetch(out)
+    _fetch(out)
+    return time.perf_counter() - t0
 
-    # timed chunks are chained device-side through the tracker-state carry
-    # (each dispatch consumes the previous state), so per-iteration fences are
-    # unnecessary — one value fetch at the end closes the chain honestly
+
+def run_fps(fx, base_frames, n_chunks: int, chunk0: int = 2) -> float:
+    """Timed chunks are chained device-side through the tracker-state carry
+    (each dispatch consumes the previous state), so per-iteration fences are
+    unnecessary — one value fetch at the end closes the chain honestly.
+    ``chunk0`` offsets the frame ids so successive calls continue the video."""
+    jitter_fn = jax.jit(
+        lambda k: jax.random.randint(k, (CHUNK, 1, 1, 1), 0, 8, dtype=jnp.uint8)
+    )
+    fids = np.arange(1, CHUNK + 1)
     t0 = time.perf_counter()
     for i in range(n_chunks):
-        frames = base_frames + jitter_fn(jax.random.PRNGKey(i + 2))
-        out = fx.process_chunk(frames, fids + (i + 2) * CHUNK, CHUNK)
-    fetch(out)
+        frames = base_frames + jitter_fn(jax.random.PRNGKey(chunk0 + i))
+        out = fx.process_chunk(frames, fids + (chunk0 + i) * CHUNK, CHUNK)
+    _fetch(out)
     return n_chunks * CHUNK / (time.perf_counter() - t0)
 
 
@@ -318,7 +346,19 @@ def bench_e2e(n_frames: int = 48) -> dict:
     }
 
 
-def main() -> None:
+def _emit(payload: dict) -> None:
+    """Print one contract-JSON line, flushed so the supervisor relays it
+    immediately even if this process is later killed mid-compile."""
+    print(json.dumps(payload), flush=True)
+
+
+def _remaining() -> float:
+    return DEADLINE_S - (time.monotonic() - T0)
+
+
+def worker() -> None:
+    """Staged measurement: headline first (printed the moment it exists),
+    refinements and extras after, each stage gated on remaining budget."""
     # structured scene (8-px blocks + vehicle-like bright rectangles) so the
     # feature/matching/tracker stages run at realistic occupancy instead of
     # the trivial zero-match regime white noise produces
@@ -327,33 +367,133 @@ def main() -> None:
     jax.block_until_ready(base)
 
     fx_stab = build(stabilize=True)
-    fps_default = run_fps(fx_stab, base)
+    t_compile = warmup(fx_stab, base)
+    print(f"warmup (compile + handshake): {t_compile:.1f} s", file=sys.stderr)
 
-    fx_fast = build(stabilize=False)
-    fps_detect = run_fps(fx_fast, base)
-    print(
-        f"stabilize:false (detect+track only): {fps_detect:.2f} frames/s",
-        file=sys.stderr,
-    )
-
-    try:
-        e2e = bench_e2e()
-        print(f"e2e decode->georef: {e2e}", file=sys.stderr)
-    except Exception as exc:  # the headline metric must always print
-        e2e = {"e2e_error": f"{type(exc).__name__}: {exc}"}
-        print(f"e2e chain failed: {exc}", file=sys.stderr)
-
+    # ---- headline, stage 1: short measurement -> print IMMEDIATELY
+    fps_quick = run_fps(fx_stab, base, n_chunks=3, chunk0=2)
     out = {
         "metric": "4k_extract_default_config_frames_per_sec_per_chip",
-        "value": round(fps_default, 2),
+        "value": round(fps_quick, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps_default / BASELINE_FPS, 3),
-        "detect_track_only_fps": round(fps_detect, 2),
-        "4k_e2e_decode_to_georef_fps": e2e.get("e2e_fps"),
+        "vs_baseline": round(fps_quick / BASELINE_FPS, 3),
+        "headline_chunks": 3,
+        "compile_warmup_s": round(t_compile, 1),
     }
-    out.update(e2e)
-    print(json.dumps(out))
+    _emit(out)
+
+    # ---- headline, stage 2: longer measurement for a steadier number
+    if _remaining() > 60:
+        fps_long = run_fps(fx_stab, base, n_chunks=10, chunk0=5)
+        out.update({
+            "value": round(fps_long, 2),
+            "vs_baseline": round(fps_long / BASELINE_FPS, 3),
+            "headline_chunks": 10,
+        })
+        _emit(out)
+
+    # ---- extra: detect+track only (second fused program compile)
+    if _remaining() > 150:
+        fx_fast = build(stabilize=False)
+        warmup(fx_fast, base)
+        fps_detect = run_fps(fx_fast, base, n_chunks=6)
+        out["detect_track_only_fps"] = round(fps_detect, 2)
+        print(f"stabilize:false (detect+track only): {fps_detect:.2f} frames/s",
+              file=sys.stderr)
+        _emit(out)
+
+    # ---- extra: full e2e chain on a real encoded clip
+    if _remaining() > 180:
+        try:
+            e2e = bench_e2e()
+            print(f"e2e decode->georef: {e2e}", file=sys.stderr)
+        except Exception as exc:  # the headline metric must always survive
+            e2e = {"e2e_error": f"{type(exc).__name__}: {exc}"}
+            print(f"e2e chain failed: {exc}", file=sys.stderr)
+        out["4k_e2e_decode_to_georef_fps"] = e2e.get("e2e_fps")
+        out.update(e2e)
+        _emit(out)
+    else:
+        out["e2e_skipped"] = "insufficient budget remaining"
+        _emit(out)
+
+
+def supervise() -> int:
+    """Driver-facing entry: run the worker as a child under a hard deadline,
+    relay its contract lines, and guarantee a final parseable line + exit 0."""
+    import subprocess
+
+    last_json = None
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker"],
+        stdout=subprocess.PIPE, stderr=sys.stderr, text=True, bufsize=1,
+        cwd=os.path.dirname(os.path.abspath(__file__)) or None,
+    )
+
+    import selectors
+
+    sel = selectors.DefaultSelector()
+    sel.register(child.stdout, selectors.EVENT_READ)
+    buf = ""
+    killed = False
+    while True:
+        left = DEADLINE_S - (time.monotonic() - T0)
+        if left <= 0:
+            child.kill()
+            killed = True
+            break
+        if not sel.select(timeout=min(left, 5.0)):
+            if child.poll() is not None:
+                break
+            continue
+        data = child.stdout.readline()
+        if data == "":
+            if child.poll() is not None:
+                break
+            continue
+        buf = data.rstrip("\n")
+        if buf.startswith("{"):
+            try:
+                last_json = json.loads(buf)
+                print(buf, flush=True)
+            except json.JSONDecodeError:
+                print(buf, file=sys.stderr)
+        elif buf:
+            print(buf, file=sys.stderr)
+    try:
+        child.wait(timeout=10)
+    except subprocess.TimeoutExpired:
+        child.kill()
+
+    if killed:
+        if last_json is not None:
+            last_json["deadline_hit"] = True
+            print(json.dumps(last_json), flush=True)
+        else:
+            # no measurement landed before the deadline: still emit a valid,
+            # honest contract line so the round records the failure mode
+            # instead of a null
+            print(json.dumps({
+                "metric": "4k_extract_default_config_frames_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "frames/s",
+                "vs_baseline": 0.0,
+                "error": f"deadline {DEADLINE_S:.0f}s hit before the first "
+                         "measurement (XLA compile-cache miss?)",
+            }), flush=True)
+    elif last_json is None:
+        print(json.dumps({
+            "metric": "4k_extract_default_config_frames_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": f"worker exited rc={child.returncode} without a measurement",
+        }), flush=True)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        worker()
+    else:
+        raise SystemExit(supervise())

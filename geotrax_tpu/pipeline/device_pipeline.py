@@ -26,7 +26,7 @@ features are the cross-chunk carry.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 from typing import NamedTuple, Optional
 
 import jax
@@ -208,10 +208,14 @@ class FusedExtractor:
         self._h_prev = jnp.eye(3)
         self._ref: Optional[RefFeatures] = None
         self._gmc_carry = None   # standalone-GMC previous-frame features
-        self._step_first = jax.jit(partial(self._chunk_impl, first=True),
-                                   static_argnames=())
-        self._step_mid = jax.jit(partial(self._chunk_impl, first=False),
-                                 static_argnames=())
+        # ONE fused program for every chunk: the first-chunk behavior
+        # (extract reference-frame features, pin h[0] = identity) is selected
+        # at runtime by a traced `first` flag through lax.cond, so a video —
+        # and a fresh deployment — pays a single XLA compile instead of two.
+        # The big 4K program costs minutes to build on a 1-vCPU host; halving
+        # the compile count is what keeps cold-start (and the driver bench)
+        # inside its budget.
+        self._step = jax.jit(self._chunk_impl)
 
     # ------------------------------------------------------------ traceable
     def _gray(self, frame_u8):
@@ -256,7 +260,7 @@ class FusedExtractor:
         return inv_scale @ h_ds @ scale
 
     def _chunk_impl(self, params, frames_u8, state, ref: Optional[RefFeatures],
-                    gmc_carry, h_prev, key, fids, n_valid, *, first: bool):
+                    gmc_carry, h_prev, key, fids, n_valid, first):
         c = frames_u8.shape[0]
         resized = None
         if self._detect_resized is not None:
@@ -294,11 +298,17 @@ class FusedExtractor:
             xy, desc, val = jax.vmap(
                 lambda g, b, v: self._feats(g, b, v, self.proto.max_features)
             )(grays, det_boxes, det_valid)
-            if first:
-                rxy, rdesc, rval = self._feats(
-                    grays[0], det_boxes[0], det_valid[0], self.proto.ref_features
-                )
-                ref = RefFeatures(rxy, rdesc, rval)
+            # first chunk of a video: the reference frame is this chunk's
+            # frame 0 — extract its (larger-budget) feature set. lax.cond
+            # executes only the taken branch at runtime, so non-first chunks
+            # pay nothing for this.
+            ref = jax.lax.cond(
+                first,
+                lambda: RefFeatures(*self._feats(
+                    grays[0], det_boxes[0], det_valid[0],
+                    self.proto.ref_features)),
+                lambda: ref,
+            )
             transformation = (
                 "projective" if self.proto.transformation_type == "projective"
                 else "affine"
@@ -327,9 +337,10 @@ class FusedExtractor:
             h = h_full
             inliers = jnp.where(ok, inl, 0).astype(jnp.int32)
             n_matches = nm.astype(jnp.int32)
-            if first:
-                # frame 0 is the reference frame: exact identity
-                h = jnp.concatenate([eye[None], h[1:]], axis=0)
+            # first chunk: frame 0 IS the reference frame -> exact identity
+            h = jnp.where(
+                first, jnp.concatenate([eye[None], h[1:]], axis=0), h
+            )
             if self.use_gmc:
                 # inter-frame motion from consecutive stabilization H's:
                 # gmc_t = H_t^-1 . H_{t-1}  (adjugate = scale-free inverse)
@@ -415,7 +426,17 @@ class FusedExtractor:
         (1-based), n_valid <= C real frames. Returns host-fetchable outputs."""
         frames = jnp.asarray(frames_u8)
         fids = jnp.asarray(np.asarray(fids, np.int32))
-        step = self._step_first if self._ref is None and self.stab_on else self._step_mid
+        first = self._ref is None and self.stab_on
+        if first:
+            # shape-true placeholder: the cond's first branch overwrites it
+            from geotrax_tpu.ops.features import GRID_DESC_DIM
+
+            k2 = self.proto.ref_features
+            self._ref = RefFeatures(
+                jnp.zeros((k2, 2)),
+                jnp.zeros((k2, GRID_DESC_DIM)),
+                jnp.zeros((k2,), bool),
+            )
         if not self.stab_on and self._gmc_carry is None and self.use_gmc:
             # initialize the standalone-GMC carry with an invalid feature set
             from geotrax_tpu.ops.features import GRID_DESC_DIM
@@ -425,8 +446,9 @@ class FusedExtractor:
                 jnp.zeros((GMC_FEATURES, GRID_DESC_DIM)),
                 jnp.zeros((GMC_FEATURES,), bool),
             )
-        self.state, out, self._ref, self._gmc_carry, self._h_prev, self._key = step(
+        self.state, out, self._ref, self._gmc_carry, self._h_prev, self._key = self._step(
             self._params, frames, self.state, self._ref, self._gmc_carry,
             self._h_prev, self._key, fids, jnp.asarray(n_valid, jnp.int32),
+            jnp.asarray(first),
         )
         return out
