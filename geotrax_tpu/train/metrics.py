@@ -118,4 +118,15 @@ def evaluate_detections(predictions: list, ground_truths: list, num_classes: int
         "map50": float(ap_table[0, valid].mean()) if valid.any() else 0.0,
         "map50_95": float(ap_table[:, valid].mean()) if valid.any() else 0.0,
         "per_class_ap50": {int(c): float(ap_table[0, c]) for c in range(num_classes) if valid[c]},
+        # full per-class metric set — the reference reports per-class
+        # P / R / mAP@50 / mAP@50-95 (reference README.md:192-200)
+        "per_class": {
+            int(c): {
+                "precision": float(p_at_50[c]),
+                "recall": float(r_at_50[c]),
+                "ap50": float(ap_table[0, c]),
+                "ap50_95": float(ap_table[:, c].mean()),
+            }
+            for c in range(num_classes) if valid[c]
+        },
     }

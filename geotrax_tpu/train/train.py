@@ -62,8 +62,13 @@ def _make_infer(spec, conf: float, iou: float, max_det: int):
     return infer
 
 
-def evaluate(params, spec, loader, conf=0.001, iou=0.7, max_det=300) -> dict:
-    """Run validation and compute the detection metrics."""
+def evaluate(params, spec, loader, conf=0.001, iou=0.7, max_det=300,
+             single_cls: bool = False) -> dict:
+    """Run validation and compute the detection metrics.
+
+    ``single_cls=True`` re-scores the same predictions class-agnostically
+    (every prediction and GT mapped to class 0) — the reference's separate
+    single-class val pass (reference train/train.sh val stanzas)."""
     import jax
     import jax.numpy as jnp
 
@@ -77,17 +82,55 @@ def evaluate(params, spec, loader, conf=0.001, iou=0.7, max_det=300) -> dict:
         # padded tail rows (validation ceil-batching) carry no real image
         for i in range(int(batch.get("n_valid", len(batch["images"])))):
             valid = det["valid"][i]
+            classes = det["classes"][i][valid]
+            gt_mask = batch["gt_mask"][i]
+            gt_cls = batch["gt_cls"][i][gt_mask]
+            if single_cls:
+                classes = np.zeros_like(classes)
+                gt_cls = np.zeros_like(gt_cls)
             predictions.append({
                 "boxes_xywh": det["boxes_xywh"][i][valid],
                 "scores": det["scores"][i][valid],
-                "classes": det["classes"][i][valid],
+                "classes": classes,
             })
-            mask = batch["gt_mask"][i]
             ground_truths.append({
-                "boxes_xywh": batch["gt_boxes"][i][mask],
-                "classes": batch["gt_cls"][i][mask],
+                "boxes_xywh": batch["gt_boxes"][i][gt_mask],
+                "classes": gt_cls,
             })
-    return evaluate_detections(predictions, ground_truths, spec.nc)
+    return evaluate_detections(predictions, ground_truths,
+                               1 if single_cls else spec.nc)
+
+
+def save_trainer_state(path, opt_state, epoch: int, best_map: float,
+                       bad_epochs: int) -> None:
+    """Checkpoint the optimizer state + loop counters for --resume.
+
+    optax states are pytrees whose STRUCTURE is reproducible from the same
+    (params, tx) pair, so only the leaves need persisting; resume rebuilds
+    the template with tx.init(params) and unflattens the saved leaves into
+    it. Reference scope anchor: ultralytics resume from last.pt
+    (/root/reference/train/train.sh:175-176,240-242)."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    np.savez(
+        path,
+        _meta=np.asarray([float(epoch), float(best_map), float(bad_epochs)]),
+        **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
+    )
+
+
+def load_trainer_state(path, template_opt_state):
+    """-> (opt_state, next_epoch, best_map, bad_epochs)."""
+    import jax
+
+    treedef = jax.tree_util.tree_structure(template_opt_state)
+    template_leaves = jax.tree_util.tree_leaves(template_opt_state)
+    with np.load(path) as z:
+        meta = z["_meta"]
+        leaves = [z[f"leaf_{i}"] for i in range(len(template_leaves))]
+    opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return opt_state, int(meta[0]) + 1, float(meta[1]), int(meta[2])
 
 
 def train(args, logger=None) -> dict:
@@ -117,8 +160,19 @@ def train(args, logger=None) -> dict:
     warmup_epochs = float(hp.get("warmup_epochs", 3.0))
     patience = int(hp.get("patience", 50))
 
-    # model: pretrained (converted) or fresh
-    if args.model:
+    resume = bool(getattr(args, "resume", False))
+    out_dir = Path(args.out)
+    # model: resumed, pretrained (converted), or fresh
+    if resume:
+        last = out_dir / "last.npz"
+        state_path = out_dir / "trainer_state.npz"
+        if not last.exists() or not state_path.exists():
+            raise SystemExit(
+                f"--resume needs {last} and {state_path} from a previous run")
+        params, spec, _names = load_model(last)
+        params = jax.tree.map(jnp.asarray, params)
+        logger.info(f"Resuming from '{last}' (yolov8{spec.variant}, nc={spec.nc}).")
+    elif args.model:
         params, spec, _names = load_model(Path(args.model))
         params = jax.tree.map(jnp.asarray, params)
         logger.info(f"Fine-tuning from '{args.model}' (yolov8{spec.variant}, nc={spec.nc}).")
@@ -162,11 +216,17 @@ def train(args, logger=None) -> dict:
     # had already drifted (it dropped the sharding constraints)
     step = make_train_step(spec, tx, mesh, box_gain, cls_gain, dfl_gain)
 
-    out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
     best_map = -1.0
     bad_epochs = 0
+    start_epoch = 0
     history = []
+    if resume and (out_dir / "metrics.jsonl").exists():
+        # rebuild the in-memory history from the per-epoch JSONL (written
+        # incrementally, so it survives the kill that made resume necessary)
+        history = [json.loads(ln)
+                   for ln in (out_dir / "metrics.jsonl").read_text().splitlines()
+                   if ln.strip()]
     # persisted metrics (Comet ML analog, reference train/README.md:184-201):
     # results.csv + metrics.jsonl + TensorBoard events, flushed per epoch
     from geotrax_tpu.train.runlog import RunLogger
@@ -186,7 +246,13 @@ def train(args, logger=None) -> dict:
     with mesh:
         params = shard_params(params, mesh)
         opt_state = tx.init(params)
-        for epoch in range(epochs):
+        if resume:
+            opt_state, start_epoch, best_map, bad_epochs = load_trainer_state(
+                out_dir / "trainer_state.npz", opt_state)
+            opt_state = jax.tree.map(jnp.asarray, opt_state)
+            logger.info(f"Resumed at epoch {start_epoch} "
+                        f"(best mAP@50 {best_map:.4f}, {bad_epochs} stagnant).")
+        for epoch in range(start_epoch, epochs):
             t0 = time.time()
             losses = []
             for batch_np in train_loader.epoch(epoch):
@@ -199,8 +265,18 @@ def train(args, logger=None) -> dict:
             val = evaluate(params, spec, val_loader)
             lr_now = float(schedule(min((epoch + 1) * steps_per_epoch, total_steps)))
             history.append({"epoch": epoch, "loss": mean_loss, **val})
+            # per-class P/R/mAP ride along as flat scalar columns
+            # (reference README.md:192-200 reports the full per-class table)
+            flat_pc = {
+                f"{m}_{c}": v[m]
+                for c, v in val.get("per_class", {}).items()
+                for m in ("precision", "recall", "ap50", "ap50_95")
+            }
             runlog.log_epoch(epoch, {
-                "loss": mean_loss, **val, "lr": lr_now,
+                "loss": mean_loss,
+                **{k: v for k, v in val.items()
+                   if k not in ("per_class", "per_class_ap50")},
+                **flat_pc, "lr": lr_now,
                 "epoch_s": round(time.time() - t0, 2),
             })
             logger.info(
@@ -237,15 +313,37 @@ def train(args, logger=None) -> dict:
                              p2=int(spec.p2))
             else:
                 bad_epochs += 1
-                if bad_epochs >= patience:
-                    logger.notice(f"Early stop after {patience} stagnant epochs.")
-                    break
+            # optimizer-state + loop-counter checkpoint: a preempted
+            # pod-slice run resumes from here with --resume instead of
+            # starting over
+            if is_writer:
+                save_trainer_state(out_dir / "trainer_state.npz", opt_state,
+                                   epoch, best_map, bad_epochs)
+            if bad_epochs >= patience:
+                logger.notice(f"Early stop after {patience} stagnant epochs.")
+                break
+
+        # final single-class validation pass: class-agnostic P/R/mAP of the
+        # last checkpoint (the reference's separate single_cls val run)
+        val_single = evaluate(params, spec, val_loader, single_cls=True)
+        logger.info(
+            f"single-class val: P {val_single['precision']:.4f} "
+            f"R {val_single['recall']:.4f} mAP50 {val_single['map50']:.4f} "
+            f"mAP50-95 {val_single['map50_95']:.4f}"
+        )
 
     runlog.close()
     if jax.process_index() == 0:
+        summary = {
+            "history": history,
+            "single_cls_val": {k: v for k, v in val_single.items()
+                               if k not in ("per_class", "per_class_ap50")},
+        }
         (out_dir / "history.json").write_text(json.dumps(history, indent=2))
+        (out_dir / "val_summary.json").write_text(json.dumps(summary, indent=2))
     logger.notice(f"Training done: best mAP@50 {best_map:.4f}; checkpoints in '{out_dir}'.")
-    return {"best_map50": best_map, "history": history}
+    return {"best_map50": best_map, "history": history,
+            "single_cls_val": val_single}
 
 
 def parse_cli_args():
@@ -271,6 +369,10 @@ def parse_cli_args():
                              "(each worker launched via train/launch.sh runs the same "
                              "command; the TPU runtime supplies coordinator/topology)")
     parser.add_argument("--out", type=Path, default=Path("runs/train"))
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume a killed/preempted run from <out>/last.npz "
+                             "+ <out>/trainer_state.npz (optimizer state, epoch, "
+                             "best-mAP and patience counters all restored)")
     parser.add_argument("--no-tb", action="store_true", dest="no_tb",
                         help="Disable TensorBoard event files (results.csv/metrics.jsonl always written)")
     parser.add_argument("--verbose", "-v", action="store_true")

@@ -126,6 +126,76 @@ def test_short_training_improves(synth_dataset, tmp_path):
     assert {"loss", "map50", "lr", "epoch_s"} <= set(jsonl[0])
 
 
+@pytest.mark.slow
+def test_kill_and_resume_matches_uninterrupted(synth_dataset, tmp_path):
+    """Interrupt after epoch 2, resume with --resume, and match an
+    uninterrupted run: same per-epoch losses, same LR schedule position,
+    same final weights (optimizer state + counters restored from
+    trainer_state.npz). Reference anchor: ultralytics resume from last.pt
+    (/root/reference/train/train.sh:175-176,240-242)."""
+    from geotrax_tpu.train.train import train
+
+    def make_args(out, epochs, resume=False):
+        return argparse.Namespace(
+            data=synth_dataset, model=None, variant="n", nc=1, cfg="default",
+            imgsz=96, batch=8, epochs=epochs, max_gt=8, devices=None,
+            out=out, verbose=False, resume=resume,
+        )
+
+    full = train(make_args(tmp_path / "full", 4))
+
+    # "kill" after epoch 2 by running only 2 epochs, then resume to 4
+    train(make_args(tmp_path / "resumed", 2))
+    assert (tmp_path / "resumed" / "trainer_state.npz").exists()
+    resumed = train(make_args(tmp_path / "resumed", 4, resume=True))
+
+    # resumed continues at epoch 2 (no epochs repeated or skipped)
+    assert [h["epoch"] for h in resumed["history"]] == [0, 1, 2, 3]
+    for a, b in zip(full["history"], resumed["history"]):
+        assert a["loss"] == pytest.approx(b["loss"], rel=1e-5), \
+            f"epoch {a['epoch']} loss diverged after resume"
+        assert a["map50"] == pytest.approx(b["map50"], abs=1e-6)
+
+    # LR schedule continuity: the resumed run's logged lr matches
+    jsonl_full = [json.loads(l) for l in
+                  (tmp_path / "full" / "metrics.jsonl").read_text().splitlines()]
+    jsonl_res = [json.loads(l) for l in
+                 (tmp_path / "resumed" / "metrics.jsonl").read_text().splitlines()]
+    assert len(jsonl_res) == len(jsonl_full) == 4
+    for a, b in zip(jsonl_full, jsonl_res):
+        assert a["lr"] == pytest.approx(b["lr"], rel=1e-9)
+
+    # final weights bit-match the uninterrupted run
+    with np.load(tmp_path / "full" / "last.npz") as za, \
+         np.load(tmp_path / "resumed" / "last.npz") as zb:
+        for k in za.files:
+            if k.startswith("meta:") or k == "class_names":
+                continue
+            np.testing.assert_allclose(za[k], zb[k], rtol=1e-5, atol=1e-7,
+                                       err_msg=f"weight {k} diverged")
+
+    # single-class val pass rides along in both runs
+    assert "single_cls_val" in full and "map50" in full["single_cls_val"]
+    summary = json.loads((tmp_path / "full" / "val_summary.json").read_text())
+    assert "single_cls_val" in summary
+
+
+def test_per_class_metrics_surface():
+    """evaluate_detections exposes the reference's per-class table
+    (P/R/mAP50/mAP50-95 per class, reference README.md:192-200)."""
+    gt = [{"boxes_xywh": np.array([[50.0, 50, 20, 10], [100, 100, 30, 12]]),
+           "classes": np.array([0, 1])}]
+    pred = [{"boxes_xywh": gt[0]["boxes_xywh"].copy(),
+             "scores": np.array([0.9, 0.8]),
+             "classes": np.array([0, 1])}]
+    m = evaluate_detections(pred, gt, num_classes=2)
+    assert set(m["per_class"]) == {0, 1}
+    for c in (0, 1):
+        row = m["per_class"][c]
+        assert set(row) == {"precision", "recall", "ap50", "ap50_95"}
+        assert row["ap50"] == pytest.approx(1.0, abs=0.01)
+
+
 def test_runlogger_incremental_and_append(tmp_path):
     """Each log_epoch flushes to disk (history survives a kill); re-opening
     the same dir appends instead of clobbering (resume semantics)."""
