@@ -299,7 +299,8 @@ class VideoWriter:
     non-mp4 container is requested."""
 
     def __init__(self, path: Path | str, fps: float, width: int, height: int,
-                 fourcc: Optional[str] = None, backend: Optional[str] = None):
+                 fourcc: Optional[str] = None, backend: Optional[str] = None,
+                 bitrate: int = 0):
         from geotrax_tpu.utils.file_utils import determine_suffix_and_fourcc
 
         if fourcc is None:
@@ -311,14 +312,16 @@ class VideoWriter:
         backend = backend or os.environ.get("GEOTRAX_VIDEO_BACKEND")
         # The native encoder emits MPEG-4 Part 2 only; a caller explicitly
         # asking for H.264 ('avc1') falls through to cv2 so the requested
-        # codec is honored.
+        # codec is honored. ``bitrate`` (bits/s; 0 = auto = 4*w*h) maps to
+        # the encoder's rate control (reference recut --bitrate surface).
         if backend != "cv2" and fourcc.lower() == "mp4v":
             from geotrax_tpu.io.native import load_encoder_library
 
             lib = load_encoder_library()
             if lib is not None:
                 handle = lib.gtx_enc_open(
-                    self.path.encode(), self.width, self.height, float(fps), 0
+                    self.path.encode(), self.width, self.height, float(fps),
+                    int(bitrate),
                 )
                 if handle:
                     self._native = (lib, handle)

@@ -289,23 +289,204 @@ def test_find_cut_video_issues(tmp_path):
     assert "timestamp-jump" in result.stdout
 
 
+def _write_test_video(path, n=20, w=64, h=48):
+    cv2 = pytest.importorskip("cv2")
+    writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+    for i in range(n):
+        writer.write(np.full((h, w, 3), i * 10 % 255, np.uint8))
+    writer.release()
+
+
 def test_recut_video_and_log(tmp_path):
+    """--start/--end CLI path: INCLUSIVE end (reference cut_and_save_csv
+    semantics, recut_video_and_log.py:163-190)."""
     cv2 = pytest.importorskip("cv2")
     video = tmp_path / "U.mp4"
-    writer = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 48))
-    for i in range(20):
-        writer.write(np.full((48, 64, 3), i * 10 % 255, np.uint8))
-    writer.release()
+    _write_test_video(video)
     pd.DataFrame({"frame": range(20), "timestamp": ["t"] * 20}).to_csv(
         tmp_path / "U.csv", index=False)
     result = run_tool("recut_video_and_log.py", video, "-s", "5", "-e", "15",
                       "-o", tmp_path / "cut.mp4", "-ec")
     assert result.returncode == 0, result.stderr
     cap = cv2.VideoCapture(str(tmp_path / "cut.mp4"))
-    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 10
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 11
     cap.release()
     log = pd.read_csv(tmp_path / "cut.csv")
-    assert log["frame"].tolist() == list(range(10))
+    assert log["frame"].tolist() == list(range(11))
+
+
+def test_recut_cuts_file_rotation_and_debug(tmp_path):
+    """Cuts-file path 'start, end, rotation' + default output naming + debug
+    verification (reference recut_video_and_log.py:353-378, 193-260)."""
+    cv2 = pytest.importorskip("cv2")
+    video = tmp_path / "U.mp4"
+    _write_test_video(video, n=20, w=64, h=48)
+    pd.DataFrame({"frame": range(20), "timestamp": ["t"] * 20}).to_csv(
+        tmp_path / "U.csv", index=False)
+    cuts = tmp_path / "cuts.txt"
+    cuts.write_text("0, -1, 90\n")
+    result = run_tool("recut_video_and_log.py", video, cuts, "-ec", "-q")
+    assert result.returncode == 0, result.stderr
+    out = tmp_path / "U_cut.mp4"
+    cap = cv2.VideoCapture(str(out))
+    # 90-degree rotation swaps dimensions
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 48
+    assert int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) == 64
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 20
+    cap.release()
+    assert pd.read_csv(tmp_path / "U_cut.csv")["frame"].tolist() == list(range(20))
+    # no-rotation debug run verifies sampled-frame RMSE
+    result = run_tool("recut_video_and_log.py", video, "-s", "0", "-e", "10",
+                      "-o", tmp_path / "v.mp4", "-ec", "--debug")
+    assert result.returncode == 0, result.stderr
+    assert "verification max RMSE" in result.stdout + result.stderr
+
+
+def test_recut_sanity_checks(tmp_path):
+    video = tmp_path / "U.mp4"
+    _write_test_video(video, n=10)
+    bad = run_tool("recut_video_and_log.py", video, "-s", "8", "-e", "4",
+                   "-o", tmp_path / "x.mp4")
+    assert bad.returncode != 0
+    assert "cut_start" in bad.stderr
+    bad_rot = tmp_path / "cuts.txt"
+    bad_rot.write_text("0, -1, 45")
+    result = run_tool("recut_video_and_log.py", video, bad_rot)
+    assert result.returncode != 0
+    assert "rotation" in result.stderr
+
+
+def test_find_cut_video_issues_report(tmp_path):
+    """--report writes flight_log_stats.csv + flight_log_anomalies.csv with
+    the columns fix_timestamp_anomalies.py consumes (reference
+    find_cut_video_issues.py:140-142,289-306)."""
+    good = tmp_path / "A1.csv"
+    pd.DataFrame({
+        "frame": range(5),
+        "timestamp": [f"2022-01-01 10:00:00.{i * 33:03d}" for i in range(5)],
+    }).to_csv(good, index=False)
+    bad = tmp_path / "B2.csv"
+    pd.DataFrame({
+        "frame": range(5),
+        "timestamp": ["2022-01-01 10:00:00.000", "2022-01-01 10:00:00.033",
+                      "2022-01-01 10:00:05.000", "2022-01-01 10:00:05.033",
+                      "2022-01-01 10:00:05.066"],
+        "latitude": [37.4, 37.4, 37.4001, 37.4, 37.4],
+        "longitude": [126.6] * 5,
+        "rel_alt": [140.0, 140.1, 140.0, 139.9, 140.0],
+    }).to_csv(bad, index=False)
+    result = run_tool("find_cut_video_issues.py", tmp_path, "--report", tmp_path)
+    assert result.returncode == 1  # anomalies found
+    stats = pd.read_csv(tmp_path / "flight_log_stats.csv")
+    assert set(stats["location_id"]) == {"A", "B"}
+    assert "timestamp_anomaly_frame" in stats.columns
+    anoms = pd.read_csv(tmp_path / "flight_log_anomalies.csv")
+    assert anoms["location_id"].tolist() == ["B"]
+    assert int(anoms["timestamp_anomaly_frame"].iloc[0]) == 2
+    assert anoms["timestamp_max_abs_diff"].iloc[0] > 4.0
+    # radius deviation computed from the GPS glitch (~11 m)
+    row_b = stats[stats["location_id"] == "B"].iloc[0]
+    assert 5.0 < row_b["radius_max_deviation"] < 20.0
+
+
+def _import_tool(name):
+    import importlib
+    import sys as _sys
+
+    if str(TOOLS) not in _sys.path:
+        _sys.path.insert(0, str(TOOLS))
+    return importlib.import_module(name)
+
+
+def test_fix_timestamp_anomalies_plan_and_apply(tmp_path, monkeypatch):
+    """Cut planning (single vs double cut), backup renames, cut-spec files,
+    and the recut/batch command chain (reference fix_timestamp_anomalies.py:
+    114-175), with subprocess calls recorded instead of executed."""
+    fix = _import_tool("fix_timestamp_anomalies")
+
+    # anomaly in the middle of a 40 s log -> two cuts
+    assert len(fix.plan_cuts(tmp_path / "U3.MP4", "U", 3, 600, 1200)) == 2
+    # anomaly near the start -> one cut from the right
+    (spec, start, end), = fix.plan_cuts(tmp_path / "U3.MP4", "U", 3, 60, 1200)
+    assert (start, end) == (90, -1)
+    # anomaly near the end -> one cut from the left
+    (_, start, end), = fix.plan_cuts(tmp_path / "U3.MP4", "U", 3, 1150, 1200)
+    assert (start, end) == (0, 1120)
+
+    video = tmp_path / "U3.MP4"
+    video.write_bytes(b"fake")
+    pd.DataFrame({"frame": range(1200), "timestamp": ["t"] * 1200}).to_csv(
+        tmp_path / "U3.CSV", index=False)
+    anomalies = tmp_path / "flight_log_anomalies.csv"
+    pd.DataFrame([{
+        "location_id": "U", "video_path": "U3.MP4",
+        "timestamp_max_abs_diff": 5.0,
+        "timestamp_anomaly_location": "2022-01-01 10:00:20",
+        "timestamp_anomaly_frame": 600,
+    }]).to_csv(anomalies, index=False)
+
+    calls = []
+    monkeypatch.setattr(fix.subprocess, "run",
+                        lambda cmd, check: calls.append(cmd))
+    import argparse
+    import logging
+
+    args = argparse.Namespace(input=anomalies, processed_folder=None,
+                              debug=False)
+    rc = fix.fix_timestamp_anomalies(args, logging.getLogger("t"))
+    assert rc == 0
+    # originals renamed, two cut specs written
+    assert (tmp_path / "U3_original.MP4").exists()
+    assert (tmp_path / "U3_original.CSV").exists()
+    spec1 = tmp_path / "0_U3_U3_recut.TXT"
+    spec2 = tmp_path / "0_U3_U4_recut.TXT"
+    assert spec1.read_text() == "0, 570"
+    assert spec2.read_text() == "630, -1"
+    # four subprocess invocations: recut + batch per segment
+    assert len(calls) == 4
+    assert "recut_video_and_log.py" in calls[0][1]
+    assert calls[1][1:4] == ["-m", "geotrax_tpu", "batch"]
+    # segment names derive from the spec stems: U3 and U4
+    assert calls[0][calls[0].index("-o") + 1].endswith("U3.MP4")
+    assert calls[2][calls[2].index("-o") + 1].endswith("U4.MP4")
+
+
+def test_fix_timestamp_anomalies_debug_mode(tmp_path):
+    """--debug modifies nothing (reference fix_timestamp_anomalies.py:142-154)."""
+    video = tmp_path / "U1.MP4"
+    video.write_bytes(b"fake")
+    pd.DataFrame({"frame": range(1200), "timestamp": ["t"] * 1200}).to_csv(
+        tmp_path / "U1.CSV", index=False)
+    anomalies = tmp_path / "anoms.csv"
+    pd.DataFrame([{
+        "location_id": "U", "video_path": "U1.MP4",
+        "timestamp_max_abs_diff": 5.0,
+        "timestamp_anomaly_location": "x",
+        "timestamp_anomaly_frame": 600,
+    }]).to_csv(anomalies, index=False)
+    result = run_tool("fix_timestamp_anomalies.py", anomalies, "--debug")
+    assert result.returncode == 0, result.stderr
+    assert video.exists()  # not renamed
+    assert not (tmp_path / "U1_original.MP4").exists()
+    assert not list(tmp_path.glob("*.TXT"))
+
+
+def test_fix_timestamp_anomalies_skips_higher_sequence(tmp_path):
+    """A higher sequence number blocks the fix (reference :106-110)."""
+    (tmp_path / "U1.MP4").write_bytes(b"fake")
+    pd.DataFrame({"frame": range(100), "timestamp": ["t"] * 100}).to_csv(
+        tmp_path / "U1.CSV", index=False)
+    (tmp_path / "U2.CSV").write_text("frame\n0\n")
+    anomalies = tmp_path / "anoms.csv"
+    pd.DataFrame([{
+        "location_id": "U", "video_path": "U1.MP4",
+        "timestamp_max_abs_diff": 5.0, "timestamp_anomaly_location": "x",
+        "timestamp_anomaly_frame": 50,
+    }]).to_csv(anomalies, index=False)
+    result = run_tool("fix_timestamp_anomalies.py", anomalies)
+    assert result.returncode == 0, result.stderr
+    assert (tmp_path / "U1.MP4").exists()
+    assert not (tmp_path / "U1_original.MP4").exists()
 
 
 def test_find_source_id(tmp_path):
