@@ -67,14 +67,23 @@ def resize_u8_linear(img_u8: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray
 
     if _is_exact_half(src_h, dst_h) and _is_exact_half(src_w, dst_w):
         # 0.5x: all coefficients are 1024 and the fixed-point pipeline
-        # reduces exactly to (p00+p01+p10+p11 + 2) >> 2. Strided slices, NOT
-        # reduce_window: reduce_window materializes its int32 operand, and a
-        # (H,W,3) int32 array takes a 16x-padded TPU tiled layout (channel
-        # dim lands in the 128-lane minor) — 12 GB of HLO temp per 8-frame
-        # 4K chunk. The slice+add form fuses into one elementwise kernel.
-        a = img_u8.astype(jnp.int32)
-        s = (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2])
-        out = ((s + 2) >> 2).astype(jnp.uint8)
+        # reduces exactly to (p00+p01+p10+p11 + 2) >> 2. Expressed as a
+        # grouped 2x2/stride-2 conv with a ones kernel: sublane-strided
+        # slices on an (H,W,3)-layout array lower to per-row copies on TPU
+        # (measured 32.7 ms/frame for a 4K half-resize), while the conv form
+        # rides the dedicated convolution path (1.1 ms/frame, 29x). Exact:
+        # u8 values are integers <=255 (exact in bf16), the f32-accumulated
+        # 2x2 sum is <=1020 (exact), and (s+2)/4 has <=2 fraction bits, so
+        # floor((s+2)*0.25) == (s+2)>>2 bit-for-bit.
+        c = img_u8.shape[-1]
+        ker = jnp.ones((2, 2, 1, c), jnp.bfloat16)
+        s = jax.lax.conv_general_dilated(
+            img_u8[None].astype(jnp.bfloat16), ker, (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+            preferred_element_type=jnp.float32,
+        )[0]
+        out = jnp.floor((s + 2.0) * 0.25).astype(jnp.uint8)
         return out[..., 0] if squeeze else out
 
     x_idx, xa0, xa1 = _axis_coeffs(src_w, dst_w)

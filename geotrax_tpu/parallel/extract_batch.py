@@ -296,12 +296,14 @@ def extract_videos_batch(sources: list, args, config: dict, logger) -> None:
                 full_e[v] = emb_np[p]
             alive_mask[v] = True
             if not first:
-                try:
-                    gmc_all[v] = np.linalg.inv(h_cur[v]) @ h_prev[v]
-                except np.linalg.LinAlgError:
-                    logger.warning(
-                        f"Frame {frame_idx}, video {v}: singular stabilization H; GMC skipped."
-                    )
+                # same jitted f32 adjugate program as the sequential/fused
+                # paths (device_pipeline.gmc_from_h) -> bit-identical GMC
+                from geotrax_tpu.pipeline.device_pipeline import gmc_from_h
+
+                gmc_all[v] = np.asarray(gmc_from_h(
+                    jnp.asarray(h_cur[v], jnp.float32),
+                    jnp.asarray(h_prev[v], jnp.float32),
+                ))
             h_prev[v] = h_cur[v]
 
         if full_e is None:
@@ -319,7 +321,11 @@ def extract_videos_batch(sources: list, args, config: dict, logger) -> None:
             scores = out_np.score[v][valid]
             classes = out_np.cls[v][valid]
             if stabilize_on:
-                boxes_stab = boxes if first else impl._transform_boxes(h_cur[v], boxes)
+                # full fixed-size table through one compiled shape, then subset
+                boxes_stab = (
+                    boxes if first
+                    else impl._transform_boxes(h_cur[v], out_np.box_xywh[v])[valid]
+                )
                 rows[v].append(np.column_stack([
                     np.full(len(ids), frame_idx, float), ids.astype(float),
                     boxes, boxes_stab, classes.astype(float), scores,

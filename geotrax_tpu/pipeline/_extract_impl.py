@@ -46,24 +46,18 @@ def open_reader(source: Path, start: int, stop, config: dict):
 
 def _transform_boxes(h_matrix: np.ndarray, boxes_xywh: np.ndarray) -> np.ndarray:
     """Map (N,4) cxcywh boxes through a homography (corner transform +
-    axis-aligned refit; same convention as the stabilizer)."""
+    axis-aligned refit). Delegates to the SAME jitted f32 program as the
+    fused chunk (device_pipeline._transform_boxes_h) so the sequential,
+    parallel and fused paths emit bit-identical stabilized boxes."""
     if len(boxes_xywh) == 0:
         return boxes_xywh
-    cx, cy, w, h = (boxes_xywh[:, i] for i in range(4))
-    corners = np.stack([
-        np.stack([cx - w / 2, cy - h / 2], -1),
-        np.stack([cx + w / 2, cy - h / 2], -1),
-        np.stack([cx + w / 2, cy + h / 2], -1),
-        np.stack([cx - w / 2, cy + h / 2], -1),
-    ], axis=1).reshape(-1, 2)
-    homog = np.concatenate([corners, np.ones((len(corners), 1))], axis=1)
-    mapped = homog @ h_matrix.T
-    mapped = (mapped[:, :2] / mapped[:, 2:3]).reshape(-1, 4, 2)
-    mins, maxs = mapped.min(axis=1), mapped.max(axis=1)
-    out = boxes_xywh.copy()
-    out[:, 0:2] = (mins + maxs) / 2
-    out[:, 2:4] = maxs - mins
-    return out
+    import jax.numpy as jnp
+
+    from geotrax_tpu.pipeline.device_pipeline import transform_boxes
+
+    return np.asarray(transform_boxes(
+        jnp.asarray(h_matrix, jnp.float32), jnp.asarray(boxes_xywh, jnp.float32)
+    ))
 
 
 def track_video(args, config: dict, logger) -> tuple:
@@ -183,10 +177,14 @@ def track_video(args, config: dict, logger) -> tuple:
 
             gmc_h = None
             if h_prev is not None:
-                try:
-                    gmc_h = jnp.asarray(np.linalg.inv(h_cur) @ h_prev)
-                except np.linalg.LinAlgError:
-                    logger.warning(f"Frame {frame_idx}: singular stabilization H; GMC skipped.")
+                # same jitted f32 adjugate program as the fused chunk — a
+                # host np.linalg.inv (f64) here drifts from the fused path
+                # by ULPs the KF then amplifies into text-level diffs
+                from geotrax_tpu.pipeline.device_pipeline import gmc_from_h
+
+                gmc_h = gmc_from_h(
+                    jnp.asarray(h_cur, jnp.float32), jnp.asarray(h_prev, jnp.float32)
+                )
             h_prev = h_cur
 
             # ---- appearance embeddings (same device op as the fused path)
@@ -212,7 +210,13 @@ def track_video(args, config: dict, logger) -> tuple:
             classes = np.asarray(out.cls)[valid]
 
             if stabilize_on:
-                boxes_stab = boxes if frame_idx == cut_left else _transform_boxes(h_cur, boxes)
+                if frame_idx == cut_left:
+                    boxes_stab = boxes
+                else:
+                    # transform the FULL fixed-size track table (one compiled
+                    # shape), then subset — per-frame variable-K calls would
+                    # recompile on every new K
+                    boxes_stab = _transform_boxes(h_cur, np.asarray(out.box_xywh))[valid]
                 frame_rows = np.column_stack([
                     np.full(len(ids), frame_idx, float), ids.astype(float),
                     boxes, boxes_stab, classes.astype(float), scores,
@@ -333,7 +337,10 @@ def _track_video_fused(args, config, logger, reader, detector, tracker_cfg,
                     transforms.append(
                         np.concatenate([[frame_idx], out.h[i].reshape(-1)])
                     )
-                boxes_stab = out.box_stab[i][valid]
+                # ref frame: stabilized box = raw box by definition (the
+                # sequential path does the same, and an f32 round-trip
+                # through the identity transform is not guaranteed lossless)
+                boxes_stab = boxes if frame_idx == cut_left else out.box_stab[i][valid]
                 frame_rows = np.column_stack([
                     np.full(len(ids), frame_idx, float), ids.astype(float),
                     boxes, boxes_stab, classes.astype(float), scores,

@@ -12,9 +12,10 @@ the entire per-chunk computation is a single jitted program:
     -> stabilized-box corner transform             (vmapped)
 
 so the host uploads raw uint8 frames once per chunk and fetches one block of
-small per-frame outputs. Tracker state, the reference-frame features, the
-previous frame's stabilization homography, and the RNG key are device-side
-carries between chunks.
+small per-frame outputs. Tracker state, the reference-frame features, and the
+previous frame's stabilization homography are device-side carries between
+chunks; RANSAC keys are fold_in(base, frame_id) so results are independent of
+chunk boundaries and bit-equal to the sequential path.
 
 Standalone GMC (SURVEY §2.3 N7): when stabilization is off but the tracker
 wants camera-motion compensation (reference BoT-SORT runs sparse optical
@@ -137,6 +138,23 @@ def _transform_boxes_h(h: jnp.ndarray, boxes_xywh: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([(mins + maxs) / 2, maxs - mins], axis=-1)
 
 
+# Shared with the sequential/parallel host loops (pipeline/_extract_impl.py,
+# parallel/extract_batch.py): all extraction paths MUST run the exact same
+# f32 program for GMC and the stabilized-box refit, or their outputs drift by
+# ULPs that the %g track format amplifies into text-level diffs
+# (tests/test_fused_parity.py requires bit-equality).
+transform_boxes = jax.jit(_transform_boxes_h)
+
+
+@jax.jit
+def gmc_from_h(h_cur: jnp.ndarray, h_prev: jnp.ndarray) -> jnp.ndarray:
+    """prev->cur camera motion from consecutive stabilization H's:
+    gmc = H_cur^-1 @ H_prev via the scale-free adjugate — identical math to
+    the fused chunk's GMC stage in _chunk_impl below."""
+    with jax.default_matmul_precision("highest"):
+        return normalize_h(adjugate3(h_cur) @ h_prev)
+
+
 class FusedExtractor:
     """Per-video fused extraction over fixed-size frame chunks.
 
@@ -204,6 +222,7 @@ class FusedExtractor:
         else:
             self.proto = None
 
+        # constant BASE key: per-frame keys are fold_in(base, frame_id)
         self._key = jax.random.PRNGKey(rng_seed)
         self._h_prev = jnp.eye(3)
         self._ref: Optional[RefFeatures] = None
@@ -282,8 +301,11 @@ class FusedExtractor:
             )
         eye = jnp.eye(3)
 
-        keys = jax.random.split(key, c + 1)
-        new_key = keys[0]
+        # per-frame RANSAC keys derived from the FRAME ID, not a carried
+        # chain: fold_in(base, fid) makes the draw independent of chunking
+        # and bit-identical to the sequential Stabilizer's per-frame keys
+        # (stabilize/stabilizer.py), so fused == sequential exactly.
+        keys_pf = jax.vmap(lambda f: jax.random.fold_in(key, f))(fids)
 
         h = jnp.tile(eye[None], (c, 1, 1))
         inliers = jnp.zeros((c,), jnp.int32)
@@ -321,7 +343,7 @@ class FusedExtractor:
                     threshold=self.proto.ransac_threshold,
                     filter_ratio=self.proto.filter_ratio,
                 )
-            )(xy, val, desc, keys[1:])
+            )(xy, val, desc, keys_pf)
             h_full = jax.vmap(self._unscale)(h_ds)
             denom = h_full[:, 2, 2]
             ok = (
@@ -366,7 +388,7 @@ class FusedExtractor:
                     n_hyps=GMC_HYPOTHESES, transformation="affine",
                     threshold=2.0, filter_ratio=0.9,
                 )
-            )(prev_xy, prev_val, prev_desc, xy, val, desc, keys[1:])
+            )(prev_xy, prev_val, prev_desc, xy, val, desc, keys_pf)
             h_full = jax.vmap(self._unscale)(h_ds)
             ok = (nm >= 3) & jnp.isfinite(h_full).all(axis=(1, 2))
             gmc = jnp.where(ok[:, None, None], h_full, eye[None])
@@ -418,7 +440,7 @@ class FusedExtractor:
             score=outs.score, cls=outs.cls, valid=outs.valid,
             h=h, gmc=gmc, inliers=inliers, matches=n_matches,
         )
-        return state, chunk_out, ref, gmc_carry, h[-1], new_key
+        return state, chunk_out, ref, gmc_carry, h[-1]
 
     # ------------------------------------------------------------ host API
     def process_chunk(self, frames_u8, fids, n_valid: int) -> ChunkOutput:
@@ -446,7 +468,7 @@ class FusedExtractor:
                 jnp.zeros((GMC_FEATURES, GRID_DESC_DIM)),
                 jnp.zeros((GMC_FEATURES,), bool),
             )
-        self.state, out, self._ref, self._gmc_carry, self._h_prev, self._key = self._step(
+        self.state, out, self._ref, self._gmc_carry, self._h_prev = self._step(
             self._params, frames, self.state, self._ref, self._gmc_carry,
             self._h_prev, self._key, fids, jnp.asarray(n_valid, jnp.int32),
             jnp.asarray(first),

@@ -86,7 +86,13 @@ class Stabilizer:
         self.min_inlier_warning = min_inliers_match_count_warning
 
         self._ref = None      # (kps, desc)
+        # base RNG key; per-frame RANSAC keys are fold_in(base, frame_id)
+        # with frame_id counted from the reference frame (= 1). Identical
+        # derivation to the fused chunk pipeline (pipeline/device_pipeline),
+        # so the two extraction paths draw the same sample streams and agree
+        # bit-for-bit.
         self._key = jax.random.PRNGKey(0)
+        self._fid = 1
         self._cur_boxes = None
         self._cur_h: Optional[np.ndarray] = None
         self._cur_boxes_ref: Optional[np.ndarray] = None
@@ -139,6 +145,7 @@ class Stabilizer:
         """Fix the reference frame (features extracted once, at the higher
         ref_multiplier budget)."""
         self._ref = self._prepare(frame, boxes, self.ref_features)
+        self._fid = 1
 
     def _build_fused(self, frame_shape):
         """One jitted function for the whole per-frame pipeline (gray ->
@@ -192,7 +199,8 @@ class Stabilizer:
             raise RuntimeError("set_ref_frame must be called before stabilize")
         self._cur_boxes = None if boxes is None else np.asarray(boxes, np.float32)
         ref_kps, ref_desc = self._ref
-        self._key, sub = jax.random.split(self._key)
+        self._fid += 1
+        sub = jax.random.fold_in(self._key, self._fid)
 
         if self.n_levels == 1:
             if self._fused is None:

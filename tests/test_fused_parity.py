@@ -7,11 +7,9 @@ not drift: this runs the SAME hermetic video + oracle detections through
 both paths — stabilization, GMC and ReID all ON — and compares every output
 column.
 
-Tolerance note: the two paths draw different RANSAC sample keys, so the
-per-frame homographies (and everything downstream of them: stabilized boxes,
-GMC-compensated KF states) agree only up to RANSAC noise. On this static
-scene that is well under 0.05 px. Track ids, classes and scores must be
-exactly equal.
+Both paths derive their per-frame RANSAC key as fold_in(base, frame_id)
+(device_pipeline._chunk_impl / Stabilizer.stabilize), so they draw identical
+sample streams and every output column must be EXACTLY equal — no tolerance.
 """
 
 import argparse
@@ -82,20 +80,19 @@ def test_fused_matches_sequential_full_output(tmp_path, monkeypatch):
     np.testing.assert_array_equal(t_fused[:, 1], t_seq[:, 1], err_msg="track ids drift")
     np.testing.assert_array_equal(t_fused[:, 10], t_seq[:, 10], err_msg="classes drift")
     # scores: exact (oracle-supplied, no float path difference)
-    np.testing.assert_allclose(t_fused[:, 11], t_seq[:, 11], atol=1e-6)
-    # geometry: boxes + stabilized boxes within RANSAC noise
-    np.testing.assert_allclose(
-        t_fused[:, 2:6], t_seq[:, 2:6], atol=0.05,
-        err_msg="tracked boxes drift beyond RANSAC tolerance",
+    np.testing.assert_array_equal(t_fused[:, 11], t_seq[:, 11])
+    # geometry: boxes + stabilized boxes — same fold_in(base, fid) RANSAC
+    # keys, same op stack -> bit-equal
+    np.testing.assert_array_equal(
+        t_fused[:, 2:6], t_seq[:, 2:6], err_msg="tracked boxes drift"
     )
-    np.testing.assert_allclose(
-        t_fused[:, 6:10], t_seq[:, 6:10], atol=0.05,
-        err_msg="stabilized boxes drift beyond RANSAC tolerance",
+    np.testing.assert_array_equal(
+        t_fused[:, 6:10], t_seq[:, 6:10], err_msg="stabilized boxes drift"
     )
-    # transforms: one row per non-reference frame, near-equal homographies
+    # transforms: one row per non-reference frame, bit-equal homographies
     assert h_fused.shape == h_seq.shape
     np.testing.assert_array_equal(h_fused[:, 0], h_seq[:, 0])
-    np.testing.assert_allclose(h_fused[:, 1:], h_seq[:, 1:], atol=0.05)
+    np.testing.assert_array_equal(h_fused[:, 1:], h_seq[:, 1:])
 
 
 def test_oracle_detector_supports_both_paths():
