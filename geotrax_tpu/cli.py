@@ -61,6 +61,29 @@ def _honor_jax_platforms() -> None:
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
+def _enable_persistent_compile_cache() -> None:
+    """XLA programs for the fused 4K pipeline cost minutes to build on a
+    small host; a campaign runs one process per video (reference scope: 20
+    intersections x many clips). The persistent compilation cache makes that
+    a one-time cost per deployment instead of per run. Opt out / relocate
+    with GEOTRAX_JAX_CACHE=off|<dir> (the reference's torch stack gets the
+    same effect from CUDA kernels being precompiled in the wheel)."""
+    import os
+
+    target = os.environ.get("GEOTRAX_JAX_CACHE", "")
+    if target.lower() in ("off", "0", "none"):
+        return
+    if not target:
+        target = os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "geotrax", "jax",
+        )
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", target)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -78,6 +101,7 @@ def main(argv: list[str] | None = None) -> int:
 
     module_path, _ = COMMANDS[command]
     _honor_jax_platforms()   # before the stage module first imports jax
+    _enable_persistent_compile_cache()
     module = importlib.import_module(module_path)
     # Stage modules own their argparse; present them a clean argv.
     sys.argv = [f"{PROG} {command}"] + argv[1:]
