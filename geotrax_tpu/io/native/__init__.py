@@ -16,9 +16,11 @@ import numpy as np
 _LIB_PATH = Path(__file__).parent / "libgeotrax_decode.so"
 _ENC_PATH = Path(__file__).parent / "libgeotrax_encode.so"
 _LAP_PATH = Path(__file__).parent / "libgeotrax_lap.so"
+_REMUX_PATH = Path(__file__).parent / "libgeotrax_remux.so"
 _lib = None
 _enc_lib = None
 _lap_lib = None
+_remux_lib = None
 
 
 def _try_build() -> None:
@@ -135,6 +137,51 @@ def native_frames(path: str) -> Iterator[tuple[int, np.ndarray]]:
             idx += 1
     finally:
         lib.gtx_close(handle)
+
+
+def _load_remux_library():
+    global _remux_lib
+    if _remux_lib is not None:
+        return _remux_lib
+    if not _REMUX_PATH.exists():
+        _try_build()
+    if not _REMUX_PATH.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_REMUX_PATH))
+    except OSError:
+        return None
+    lib.gtx_remux_concat.restype = ctypes.c_int
+    lib.gtx_remux_concat.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_char_p,
+    ]
+    lib.gtx_validate.restype = ctypes.c_int
+    lib.gtx_validate.argtypes = [ctypes.c_char_p]
+    _remux_lib = lib
+    return lib
+
+
+def remux_concat(inputs, output) -> bool:
+    """Concatenate videos by stream copy (no re-encode) into ``output``.
+    Returns False when the native library is unavailable or remux failed —
+    callers fall back to decode/re-encode."""
+    lib = _load_remux_library()
+    if lib is None:
+        return False
+    arr = (ctypes.c_char_p * len(inputs))(
+        *[str(p).encode() for p in inputs]
+    )
+    return lib.gtx_remux_concat(arr, len(inputs), str(output).encode()) == 0
+
+
+def validate_video(path) -> Optional[bool]:
+    """ffprobe-error-check equivalent: True when the container opens, has a
+    video stream, and every packet reads cleanly. None when the native
+    library is unavailable (callers treat that as 'cannot check')."""
+    lib = _load_remux_library()
+    if lib is None:
+        return None
+    return lib.gtx_validate(str(path).encode()) == 0
 
 
 def load_encoder_library():

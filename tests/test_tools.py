@@ -849,3 +849,146 @@ def test_export_model_pt_roundtrip(tmp_path):
     b2, p2 = yolov8.forward(params2, x, spec2)
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=2e-4)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+
+
+def _write_srt(path, n, fps=30, frame_offset=0):
+    """Minimal DJI-style SRT: one block per frame with FrameCnt + telemetry."""
+    blocks = []
+    for i in range(n):
+        t0 = int(i * 1000 / fps)
+        t1 = int((i + 1) * 1000 / fps)
+        def ts(ms):
+            h, rem = divmod(ms, 3_600_000)
+            m, rem = divmod(rem, 60_000)
+            s, msec = divmod(rem, 1_000)
+            return f"{h:02d}:{m:02d}:{s:02d},{msec:03d}"
+        blocks.append(
+            f"{i + 1}\n{ts(t0)} --> {ts(t1)}\n"
+            f"FrameCnt : {frame_offset + i + 1}\n"
+            f"2022-10-07 17:52:13.{i:03d}\n"
+            f"[latitude: 37.39] [longitude: 126.66] [rel_alt: 140.0]\n"
+        )
+    path.write_text("\n".join(blocks))
+
+
+def test_merge_videos_session_mode(tmp_path):
+    """Reference surface (merge_videos_and_logs.py:374-387): recursive session
+    discovery, mirrored --output-dir, stream-copy concat, SRT counter
+    continuity across parts."""
+    cv2 = pytest.importorskip("cv2")
+    session = tmp_path / "RAW" / "2022-10-04" / "D1" / "AM1"
+    session.mkdir(parents=True)
+    _write_test_video(session / "DJI_0001.mp4", n=10)
+    _write_test_video(session / "DJI_0002.mp4", n=15)
+    _write_srt(session / "DJI_0001.SRT", 10)
+    _write_srt(session / "DJI_0002.SRT", 15)
+
+    out_root = tmp_path / "PROCESSED"
+    result = run_tool("merge_videos_and_logs.py", tmp_path / "RAW",
+                      "--output-dir", out_root, "--video-ext", ".mp4", "-q")
+    assert result.returncode == 0, result.stderr
+    merged = out_root / "2022-10-04" / "D1" / "AM1" / "0_merged.mp4"
+    assert merged.exists()
+    cap = cv2.VideoCapture(str(merged))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 25
+    cap.release()
+
+    # merged SRT: 25 blocks, FrameCnt continuous 1..25, timestamps monotone
+    srt_text = merged.with_suffix(".srt").read_text()
+    sys.path.insert(0, str(TOOLS))
+    import dji_srt
+
+    blocks = dji_srt.parse_srt(srt_text)
+    assert len(blocks) == 25
+    assert [b.frame_count for b in blocks] == list(range(1, 26))
+    starts = [b.start_ms for b in blocks]
+    assert starts == sorted(starts)
+
+
+def test_merge_videos_dry_run_and_skip_existing(tmp_path):
+    session = tmp_path / "S1"
+    session.mkdir()
+    _write_test_video(session / "DJI_0001.mp4", n=5)
+    _write_srt(session / "DJI_0001.SRT", 5)
+    result = run_tool("merge_videos_and_logs.py", session,
+                      "--video-ext", ".mp4", "--dry-run", "-q")
+    assert result.returncode == 0, result.stderr
+    assert not (session / "0_merged.mp4").exists()
+    assert not (session / "0_merged.srt").exists()
+
+
+def test_yolo_to_coco_per_image_labelme_mode(tmp_path):
+    """Reference mode (yolo_to_coco.py:172-213): labelme-schema JSON per
+    image, absolute pixel coords, --class-map priority."""
+    from PIL import Image
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    Image.new("RGB", (200, 100)).save(tmp_path / "images" / "f1.png")
+    (tmp_path / "labels" / "f1.txt").write_text("0 0.5 0.5 0.2 0.4\n1 0.25 0.25 0.1 0.1\n")
+    result = run_tool("yolo_to_coco.py", tmp_path / "labels",
+                      "-cm", "0=Car", "1=Bus", "-q")
+    assert result.returncode == 0, result.stderr
+    out = json.loads((tmp_path / "labels" / "f1.json").read_text())
+    assert out["version"] == "5.5.0"
+    assert out["imageWidth"] == 200 and out["imageHeight"] == 100
+    assert [s["label"] for s in out["shapes"]] == ["Car", "Bus"]
+    assert out["shapes"][0]["shape_type"] == "rectangle"
+    assert out["shapes"][0]["points"] == [[80.0, 30.0], [120.0, 70.0]]
+
+
+def test_yolo_to_coco_map_file(tmp_path):
+    from PIL import Image
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    Image.new("RGB", (50, 50)).save(tmp_path / "images" / "a.png")
+    (tmp_path / "labels" / "a.txt").write_text("2 0.5 0.5 0.5 0.5\n")
+    (tmp_path / "map.json").write_text('{"2": "Truck"}')
+    result = run_tool("yolo_to_coco.py", tmp_path / "labels",
+                      "-mf", tmp_path / "map.json", "-dp", "1",
+                      "-ol", tmp_path / "out", "-ii", "../images", "-q")
+    assert result.returncode == 0, result.stderr
+    out = json.loads((tmp_path / "out" / "a.json").read_text())
+    assert out["shapes"][0]["label"] == "Truck"
+    assert out["shapes"][0]["points"] == [[12.5, 12.5], [37.5, 37.5]]
+
+
+def test_viz_annotations_directory_mode(tmp_path):
+    """Directory mode: rank by count respecting --type, save without show,
+    skip-existing unless --overwrite (reference viz_annotations.py:203-246)."""
+    from PIL import Image
+
+    images = tmp_path / "images"
+    labels = tmp_path / "labels"
+    images.mkdir()
+    labels.mkdir()
+    # f1 has 2 class-0 boxes, f2 has 3 boxes but only 1 of class 0
+    Image.new("RGB", (100, 80), (40, 40, 40)).save(images / "f1.png")
+    Image.new("RGB", (100, 80), (40, 40, 40)).save(images / "f2.png")
+    (labels / "f1.txt").write_text("0 0.3 0.3 0.2 0.2\n0 0.7 0.7 0.2 0.2\n")
+    (labels / "f2.txt").write_text("1 0.5 0.5 0.2 0.2\n1 0.2 0.2 0.1 0.1\n0 0.8 0.2 0.1 0.1\n")
+    out = tmp_path / "viz"
+    result = run_tool("viz_annotations.py", images, "-a", labels, "--save",
+                      "-n", "1", "--type", "0", "-o", out,
+                      "-cn", "0:car", "1:bus", "-q")
+    assert result.returncode == 0, result.stderr
+    # top-1 respecting --type 0 is f1 (2 class-0 boxes vs 1)
+    assert (out / "f1.png").exists()
+    assert not (out / "f2.png").exists()
+    rendered = np.asarray(Image.open(out / "f1.png"))
+    assert (rendered != 40).any()  # boxes drawn
+
+
+def test_viz_annotations_single_image(tmp_path):
+    from PIL import Image
+
+    root = tmp_path / "data"
+    (root / "frames").mkdir(parents=True)
+    (root / "labels").mkdir()
+    Image.new("RGB", (60, 60), (10, 10, 10)).save(root / "frames" / "x.png")
+    (root / "labels" / "x.txt").write_text("3 0.5 0.5 0.5 0.5\n")
+    result = run_tool("viz_annotations.py", root / "frames" / "x.png",
+                      "--save", "--no-show-labels", "-q")
+    assert result.returncode == 0, result.stderr
+    assert (root / "visualizations" / "x.png").exists()

@@ -18,10 +18,19 @@ from _common import *  # noqa: F401,F403
 from geotrax_tpu.train.data import load_label  # noqa: E402
 
 
-def find_max_annotations(labels_dir: Path) -> list:
-    """[(count, label_path)] sorted descending."""
-    counts = [(len(load_label(p)), p) for p in sorted(Path(labels_dir).rglob("*.txt"))]
-    return sorted(counts, key=lambda t: -t[0])
+def find_max_annotations(labels_dir: Path, top_n: int | None = None,
+                         types: list | None = None) -> list:
+    """[(count, label_path)] sorted descending. ``types`` restricts the count
+    to the given class ids (reference viz_annotations.py ranks respecting
+    --type); ``top_n`` truncates the result."""
+    counts = []
+    for p in sorted(Path(labels_dir).rglob("*.txt")):
+        labels = load_label(p)
+        if types is not None and len(labels):
+            labels = labels[[int(c) in set(types) for c in labels[:, 0]]]
+        counts.append((len(labels), p))
+    counts.sort(key=lambda t: -t[0])
+    return counts[:top_n] if top_n else counts
 
 
 def main() -> int:
