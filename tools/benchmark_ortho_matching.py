@@ -40,7 +40,7 @@ def corner_error(h_est, h_true, w, h):
 
 def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    parser.add_argument("frame", type=Path)
+    parser.add_argument("frame", type=Path, nargs="?")
     parser.add_argument("ortho", type=Path, nargs="?")
     parser.add_argument("--widths", type=int, nargs="+",
                         default=[2000, 4000, 6000, 8000, 10000, 15000])
@@ -51,20 +51,89 @@ def main() -> int:
                         help="Known H with scale 1.5-2.5x, rotation, gamma/illumination "
                              "shift and noise — the regime where RootSIFT is required "
                              "and binary descriptors fail (reference registration.py:59-77)")
+    parser.add_argument("--synthetic-ortho", type=int, metavar="SIZE", default=0,
+                        help="Reference-scale self-benchmark: generate a SIZExSIZE "
+                             "synthetic orthophoto (FRAME arg is ignored), render a 4K "
+                             "master-frame view of it through a known homography with a "
+                             "cross-domain photometric shift, and register frame->ortho "
+                             "at --max-features budget (the reference regime: 15000 px "
+                             "cutout / 250k features, reference cfg/default.yaml:156-168)")
+    parser.add_argument("--trials", type=int, default=2,
+                        help="Number of random warps in --synthetic-ortho mode")
     parser.add_argument("--detectors", nargs="+", default=["rsift", "orb"],
                         help="Detector families to compare in cross-domain mode")
     parser.add_argument("--latex", action="store_true")
     args = parser.parse_args()
+    if not args.synthetic_ortho and args.frame is None:
+        parser.error("FRAME image required unless --synthetic-ortho")
 
     logger = logging.getLogger("bench_ortho")
     from PIL import Image
 
     from geotrax_tpu.io.geoassets import load_image
 
-    frame = load_image(args.frame)
     rows = []
 
-    if args.synthetic_cross_domain:
+    if args.synthetic_ortho:
+        import time
+
+        import cv2
+
+        size = args.synthetic_ortho
+        rng = np.random.default_rng(7)
+        # Synthetic orthophoto: block texture + road grid + vehicle-scale
+        # rectangles — enough multi-scale structure for DoG keypoints at
+        # every octave, same family as the extraction bench scene.
+        ortho = np.kron(
+            rng.integers(30, 220, (size // 8, size // 8, 3)),
+            np.ones((8, 8, 1)),
+        ).astype(np.uint8)
+        for k in range(0, size, size // 24):  # road grid
+            ortho[k:k + 12, :] = 72
+            ortho[:, k:k + 12] = 72
+        for _ in range(4000):  # vehicle-scale rectangles
+            y, x = rng.integers(0, size - 40, 2)
+            ortho[y:y + rng.integers(12, 36), x:x + rng.integers(12, 36)] = (
+                rng.integers(0, 255, 3))
+        fw, fh = 3840, 2160
+        for trial in range(args.trials):
+            # frame covers a central ground patch: frame->ortho scale in the
+            # reference regime (15000 px cutout over a ~4K-frame footprint)
+            scale = rng.uniform(0.82, 0.95) * size / fw
+            ang = rng.uniform(-np.pi / 12, np.pi / 12)
+            c_, s_ = np.cos(ang) * scale, np.sin(ang) * scale
+            cx, cy = fw / 2, fh / 2
+            tx = size / 2 - (c_ * cx - s_ * cy) + rng.uniform(-80, 80)
+            ty = size / 2 - (s_ * cx + c_ * cy) + rng.uniform(-80, 80)
+            h_true = np.array([[c_, -s_, tx], [s_, c_, ty], [0, 0, 1.0]])
+            frame = cv2.warpPerspective(
+                ortho, h_true, (fw, fh), flags=cv2.WARP_INVERSE_MAP | cv2.INTER_LINEAR
+            ).astype(np.float32)
+            gamma = rng.uniform(1.3, 1.6)
+            frame = 255.0 * (np.clip(frame, 0, 255) / 255.0) ** gamma
+            frame = np.clip(frame * 0.85 + 15 + rng.normal(0, 5, frame.shape), 0, 255)
+            frame = frame.astype(np.uint8)
+            t0 = time.perf_counter()
+            h_est, inliers, matches, _ = estimate_homography(
+                frame, ortho, logger, max_features=args.max_features)
+            wall = time.perf_counter() - t0
+            err = (corner_error(h_est, h_true, fw, fh)
+                   if h_est is not None else float("inf"))
+            rows.append((f"t{trial}:{size}px", inliers, matches, err))
+            hbm = ""
+            try:
+                import jax
+
+                stats = jax.local_devices()[0].memory_stats() or {}
+                peak = stats.get("peak_bytes_in_use")
+                if peak:
+                    hbm = f"  peak_hbm={peak / 2**30:.2f} GiB"
+            except Exception:
+                pass
+            print(f"t{trial}: {size}px/{args.max_features} feats  "
+                  f"wall={wall:.1f}s{hbm}", flush=True)
+    elif args.synthetic_cross_domain:
+        frame = load_image(args.frame)
         import cv2
 
         rng = np.random.default_rng(0)
@@ -99,6 +168,7 @@ def main() -> int:
 
         from geotrax_tpu.ops.warp import warp_perspective
 
+        frame = load_image(args.frame)
         rng = np.random.default_rng(0)
         for trial in range(len(args.widths)):
             h_true = np.eye(3)
@@ -115,6 +185,7 @@ def main() -> int:
     else:
         if args.ortho is None:
             parser.error("ORTHO image required unless --synthetic")
+        frame = load_image(args.frame)
         with Image.open(args.ortho) as img:
             ortho_full = img.convert("RGB")
             full_w, full_h = ortho_full.size
