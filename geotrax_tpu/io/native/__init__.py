@@ -65,6 +65,20 @@ def load_library():
     lib.gtx_keyframe_indices.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_long), ctypes.c_long,
     ]
+    # GOP-parallel extension — bound defensively so a stale pre-extension
+    # .so still serves the sequential path instead of failing to load
+    if hasattr(lib, "gtx_scan_pts"):
+        lib.gtx_scan_pts.restype = ctypes.c_long
+        lib.gtx_scan_pts.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_long,
+        ]
+        lib.gtx_open_at.restype = ctypes.c_void_p
+        lib.gtx_open_at.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int]
+        lib.gtx_read_frame_pts.restype = ctypes.c_int
+        lib.gtx_read_frame_pts.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+        ]
     _lib = lib
     return lib
 
@@ -135,6 +149,72 @@ def native_frames(path: str) -> Iterator[tuple[int, np.ndarray]]:
                 break
             yield idx, frame
             idx += 1
+    finally:
+        lib.gtx_close(handle)
+
+
+def scan_frame_pts(path: str, max_count: int = 1 << 18):
+    """Display-order (pts, is_keyframe) map of every frame — the index
+    ParallelVideoReader partitions on. None when the native library is
+    missing, lacks the GOP extension, or the stream has no usable pts
+    (callers fall back to sequential decode)."""
+    try:
+        lib = load_library()
+    except (OSError, FileNotFoundError):
+        return None
+    if not hasattr(lib, "gtx_scan_pts"):
+        return None
+    pts = np.empty(max_count, dtype=np.int64)
+    keys = np.empty(max_count, dtype=np.int32)
+    n = lib.gtx_scan_pts(
+        str(path).encode(),
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        max_count,
+    )
+    if n < 0 or n > max_count:
+        return None
+    return pts[:n].copy(), keys[:n].copy()
+
+
+def native_frames_segment(
+    path: str, seg_pts: "np.ndarray", first_index: int,
+    seek_pts: "int | None" = None, threads: int = 1,
+) -> Iterator[tuple[int, np.ndarray]]:
+    """Yield (display_index, RGB frame) for exactly the frames whose pts are
+    in ``seg_pts`` (a contiguous display-order slice from scan_frame_pts).
+    Opens its own decoder, seeks backward to ``seek_pts`` (callers pass a
+    keyframe at-or-before the segment, with open-GOP margin), and discards
+    the decode warm-up frames whose pts precede seg_pts[0] — so N concurrent
+    segments reproduce the sequential stream bit-exactly."""
+    lib = load_library()
+    if seek_pts is None:
+        seek_pts = int(seg_pts[0])
+    handle = lib.gtx_open_at(str(path).encode(), int(seek_pts), threads)
+    if not handle:
+        raise OSError(f"native decoder failed to open/seek {path}")
+    try:
+        h, w = lib.gtx_height(handle), lib.gtx_width(handle)
+        pts_out = ctypes.c_int64()
+        want = {int(p): first_index + i for i, p in enumerate(seg_pts)}
+        served = 0
+        while served < len(seg_pts):
+            frame = np.empty((h, w, 3), dtype=np.uint8)
+            rc = lib.gtx_read_frame_pts(
+                handle, frame.ctypes.data_as(ctypes.c_void_p),
+                ctypes.byref(pts_out),
+            )
+            if rc < 0:
+                raise OSError(f"native decoder error {rc} in segment of {path}")
+            if rc != 0:
+                raise OSError(
+                    f"EOF after {served}/{len(seg_pts)} segment frames of {path}"
+                )
+            idx = want.get(int(pts_out.value))
+            if idx is None:
+                continue  # seek warm-up frame before the segment start
+            yield idx, frame
+            served += 1
     finally:
         lib.gtx_close(handle)
 

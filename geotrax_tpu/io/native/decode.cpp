@@ -14,6 +14,17 @@
 //   long   gtx_frame_count(void*)   // container estimate; <=0 if unknown
 //   int    gtx_read_frame(void*, uint8_t* rgb_out)  // 0 ok, 1 EOF, <0 error
 //   void   gtx_close(void*)
+//
+// GOP-parallel extension (ParallelVideoReader, geotrax_tpu/io/video.py):
+//   long   gtx_scan_pts(const char* path, int64_t* pts_out, int* key_out,
+//                       long max_out)   // display-order pts + key flags
+//   void*  gtx_open_at(const char* path, int64_t seek_pts)
+//   int    gtx_read_frame_pts(void*, uint8_t* rgb_out, int64_t* pts_out)
+// A video is partitioned at keyframe boundaries; each worker opens its own
+// decoder, seeks backward to its segment's keyframe, and serves exactly the
+// display-pts range the scan assigned it — so N workers on N cores decode
+// disjoint GOP runs concurrently and the merged stream is bit-identical to
+// the sequential decode.
 
 extern "C" {
 #include <libavcodec/avcodec.h>
@@ -50,11 +61,10 @@ void destroy(Decoder* d) {
   delete d;
 }
 
-}  // namespace
-
-extern "C" {
-
-void* gtx_open(const char* path) {
+// Shared open path. ``threads`` <= 0 -> libavcodec auto threading (one
+// worker per core); GOP-parallel workers pass 1 so N ParallelVideoReader
+// segments on N cores don't oversubscribe with N*cores codec threads.
+Decoder* open_impl(const char* path, int threads) {
   Decoder* d = new Decoder();
   if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) {
     destroy(d);
@@ -83,7 +93,7 @@ void* gtx_open(const char* path) {
   // libavcodec auto threading (one worker per core). Frame threading adds
   // pipeline delay but not reordering — output frames and indices are
   // bit-identical, and the drain path already handles the tail.
-  d->codec->thread_count = 0;
+  d->codec->thread_count = threads > 0 ? threads : 0;
   d->codec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
   if (avcodec_open2(d->codec, codec, nullptr) < 0) {
     destroy(d);
@@ -95,6 +105,29 @@ void* gtx_open(const char* path) {
     destroy(d);
     return nullptr;
   }
+  return d;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* gtx_open(const char* path) { return open_impl(path, 0); }
+
+// Open and seek backward to the keyframe at-or-before seek_pts (stream time
+// base). The caller (ParallelVideoReader worker) then discards decoded
+// frames whose pts precede its segment start — exact regardless of where
+// the demuxer lands, because segment membership is decided by the display
+// pts list from gtx_scan_pts, never by arrival counting after a seek.
+void* gtx_open_at(const char* path, int64_t seek_pts, int threads) {
+  Decoder* d = open_impl(path, threads);
+  if (!d) return nullptr;
+  if (av_seek_frame(d->fmt, d->stream_index, seek_pts,
+                    AVSEEK_FLAG_BACKWARD) < 0) {
+    destroy(d);
+    return nullptr;
+  }
+  avcodec_flush_buffers(d->codec);
   return d;
 }
 
@@ -121,11 +154,17 @@ long gtx_frame_count(void* h) {
 }
 
 // Decode the next frame into rgb_out (height*width*3, packed RGB24).
-int gtx_read_frame(void* h, uint8_t* rgb_out) {
-  Decoder* d = static_cast<Decoder*>(h);
+// pts_out (optional) receives the frame's best-effort display timestamp in
+// the stream time base — the key ParallelVideoReader segments are keyed by.
+static int read_frame_impl(Decoder* d, uint8_t* rgb_out, int64_t* pts_out) {
   while (true) {
     int rc = avcodec_receive_frame(d->codec, d->frame);
     if (rc == 0) {
+      if (pts_out) {
+        *pts_out = d->frame->best_effort_timestamp != AV_NOPTS_VALUE
+                       ? d->frame->best_effort_timestamp
+                       : d->frame->pts;
+      }
       if (!d->sws) {
         d->sws = sws_getContext(
             d->codec->width, d->codec->height,
@@ -162,6 +201,14 @@ int gtx_read_frame(void* h, uint8_t* rgb_out) {
       av_packet_unref(d->pkt);
     }
   }
+}
+
+int gtx_read_frame(void* h, uint8_t* rgb_out) {
+  return read_frame_impl(static_cast<Decoder*>(h), rgb_out, nullptr);
+}
+
+int gtx_read_frame_pts(void* h, uint8_t* rgb_out, int64_t* pts_out) {
+  return read_frame_impl(static_cast<Decoder*>(h), rgb_out, pts_out);
 }
 
 void gtx_close(void* h) { destroy(static_cast<Decoder*>(h)); }
@@ -221,6 +268,52 @@ long gtx_keyframe_indices(const char* path, long* out, long max_out) {
   av_packet_free(&pkt);
   avformat_close_input(&fmt);
   return n;
+}
+
+// Display-order frame map for GOP-parallel decode: pts_out[i] / key_out[i]
+// give the pts and keyframe flag of display frame i. Packet-level scan (no
+// decode), so mapping a 2h 4K video costs an IO pass, not a decode pass.
+// Returns the frame count, -2 when any packet lacks a pts (the caller must
+// fall back to sequential decode — segments can't be keyed), or -1 on open
+// errors.
+long gtx_scan_pts(const char* path, int64_t* pts_out, int* key_out,
+                  long max_out) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
+  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  int stream_index =
+      av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (stream_index < 0) {
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  AVPacket* pkt = av_packet_alloc();
+  std::vector<std::pair<int64_t, int>> stamps;  // (pts, is_key)
+  bool have_ts = true;
+  while (av_read_frame(fmt, pkt) >= 0) {
+    if (pkt->stream_index == stream_index) {
+      if (pkt->pts == AV_NOPTS_VALUE) have_ts = false;
+      stamps.emplace_back(pkt->pts, (pkt->flags & AV_PKT_FLAG_KEY) ? 1 : 0);
+    }
+    av_packet_unref(pkt);
+  }
+  av_packet_free(&pkt);
+  avformat_close_input(&fmt);
+  if (!have_ts) return -2;
+  std::stable_sort(stamps.begin(), stamps.end(),
+                   [](const std::pair<int64_t, int>& a,
+                      const std::pair<int64_t, int>& b) {
+                     return a.first < b.first;
+                   });
+  long n = std::min(static_cast<long>(stamps.size()), max_out);
+  for (long i = 0; i < n; ++i) {
+    pts_out[i] = stamps[i].first;
+    key_out[i] = stamps[i].second;
+  }
+  return static_cast<long>(stamps.size());
 }
 
 }  // extern "C"

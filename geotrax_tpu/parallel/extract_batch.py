@@ -371,6 +371,7 @@ def extract_videos_batch(sources: list, args, config: dict, logger) -> None:
             "fps": total / elapsed / max(num_videos, 1),
             "frame_size": (info.width, info.height),
             "video_fps": info.fps,
+            "extraction_mode": f"parallel-group-{num_videos}",
         }
         video_args = type(args)(**{**vars(args), "source": source}) if hasattr(args, "__dict__") else args
         impl.save_results(tracks, transforms_arr, video_args,

@@ -38,10 +38,13 @@ def load_detector(config: dict, logger):
 
 
 def open_reader(source: Path, start: int, stop, config: dict):
-    """Video reader factory (tests monkeypatch with SyntheticVideoReader)."""
-    from geotrax_tpu.io.video import VideoReader
+    """Video reader factory (tests monkeypatch with SyntheticVideoReader).
+    GEOTRAX_DECODE_WORKERS>1 selects the GOP-parallel reader on multi-core
+    hosts — host decode, not the device pipeline, bounds e2e throughput on
+    4K sources (SURVEY.md §7 hard part 6)."""
+    from geotrax_tpu.io.video import make_reader
 
-    return VideoReader(source, start=start, stop=stop)
+    return make_reader(source, start=start, stop=stop)
 
 
 def _transform_boxes(h_matrix: np.ndarray, boxes_xywh: np.ndarray) -> np.ndarray:
@@ -470,6 +473,10 @@ def save_results(tracks, transforms, args, config, out_cfg, stats, logger) -> No
             "avg_detect_ms": round(stats["avg_detect_ms"], 2),
             "avg_stabilization_ms": round(stats["avg_stab_ms"], 2),
             "pipeline_fps": round(stats["fps"], 2),
+            # post-hoc visibility of WHICH path produced this video's outputs
+            # (a --parallel-videos batch silently falls back to sequential on
+            # mixed resolutions or group errors; operators audit this field)
+            "extraction_mode": stats.get("extraction_mode", "sequential"),
         },
         "config": {
             "model": config["main"].get("model_configured"),

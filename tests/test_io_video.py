@@ -137,3 +137,104 @@ def test_native_encoder_roundtrip(tmp_path):
     assert frames[0].shape == base.shape
     assert np.abs(frames[0].astype(float).mean(axis=(0, 1))
                   - base.astype(float).mean(axis=(0, 1))).max() < 30
+
+
+# ---------------------------------------------------------------------------
+# GOP-parallel reader (io/video.py ParallelVideoReader + io/native gtx_scan_pts
+# / gtx_open_at): N worker threads decode disjoint GOP-aligned index ranges
+# concurrently; the merged stream must be BIT-IDENTICAL to the sequential
+# VideoReader regardless of worker count or window. Replaces the reference's
+# single cv2.VideoCapture decode loop (reference geotrax/extract.py:248) as
+# the scalable host-IO path (SURVEY.md §7 hard part 6: host decode bounds e2e
+# throughput on multi-core hosts).
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def gop_video(tmp_path_factory):
+    """65-frame clip through the first-party encoder (gop_size 12 -> 6 GOPs,
+    enough keyframes for 4-way segment splits)."""
+    from geotrax_tpu.io.native import load_encoder_library
+    from geotrax_tpu.io.video import VideoWriter
+
+    if load_encoder_library() is None:
+        pytest.skip("native encoder unavailable")
+    path = tmp_path_factory.mktemp("gop") / "gop.mp4"
+    rng = np.random.default_rng(3)
+    base = np.kron(rng.integers(0, 255, (24, 40, 3)), np.ones((8, 8, 1))).astype(np.uint8)
+    w = VideoWriter(path, 30.0, 320, 192, fourcc="mp4v")
+    for i in range(65):
+        f = base.copy()
+        f[50:70, (i * 4) % 280:(i * 4) % 280 + 30] = (255, 0, 0)
+        w.write(f)
+    w.close()
+    return path
+
+
+def _native_or_skip():
+    from geotrax_tpu.io.native import load_library
+
+    try:
+        lib = load_library()
+    except (OSError, FileNotFoundError):
+        pytest.skip("native decoder unavailable")
+    if not hasattr(lib, "gtx_scan_pts"):
+        pytest.skip("native decoder lacks GOP extension")
+
+
+def test_scan_frame_pts(gop_video):
+    _native_or_skip()
+    from geotrax_tpu.io.native import scan_frame_pts
+
+    pts, keys = scan_frame_pts(str(gop_video))
+    assert len(pts) == 65
+    assert keys[0] == 1, "stream must start on a keyframe"
+    assert (np.diff(pts) > 0).all(), "display-order pts must be monotonic"
+    assert keys.sum() >= 5, "65 frames / gop 12 -> >=5 keyframes"
+
+
+@pytest.mark.parametrize("workers", [2, 3, 4])
+def test_parallel_reader_bit_exact(gop_video, workers):
+    _native_or_skip()
+    from geotrax_tpu.io.video import ParallelVideoReader
+
+    seq = [(i, f.copy()) for i, f in VideoReader(gop_video)]
+    par = [(i, f.copy()) for i, f in ParallelVideoReader(gop_video, workers=workers)]
+    assert [i for i, _ in par] == [i for i, _ in seq]
+    for (_, a), (_, b) in zip(seq, par):
+        assert np.array_equal(a, b)
+
+
+def test_parallel_reader_windowed(gop_video):
+    _native_or_skip()
+    from geotrax_tpu.io.video import ParallelVideoReader
+
+    seq = [(i, f.copy()) for i, f in VideoReader(gop_video, start=10, stop=53)]
+    par = [(i, f.copy()) for i, f in ParallelVideoReader(
+        gop_video, start=10, stop=53, workers=3)]
+    assert [i for i, _ in par] == list(range(10, 53)) == [i for i, _ in seq]
+    for (_, a), (_, b) in zip(seq, par):
+        assert np.array_equal(a, b)
+
+
+def test_make_reader_selects_backend(gop_video, monkeypatch):
+    _native_or_skip()
+    from geotrax_tpu.io.video import ParallelVideoReader, make_reader
+
+    monkeypatch.setenv("GEOTRAX_DECODE_WORKERS", "3")
+    r = make_reader(gop_video)
+    assert isinstance(r, ParallelVideoReader)
+    assert sum(1 for _ in r) == 65
+    monkeypatch.setenv("GEOTRAX_DECODE_WORKERS", "1")
+    assert isinstance(make_reader(gop_video), VideoReader)
+
+
+def test_parallel_reader_close_midstream(gop_video):
+    _native_or_skip()
+    from geotrax_tpu.io.video import ParallelVideoReader
+
+    r = ParallelVideoReader(gop_video, workers=3, prefetch=2)
+    it = iter(r)
+    for _ in range(5):
+        next(it)
+    r.close()  # must not hang with producers blocked on full queues
+    assert all(not t.is_alive() for t in r._threads)
