@@ -237,6 +237,11 @@ def _load_remux_library():
     ]
     lib.gtx_validate.restype = ctypes.c_int
     lib.gtx_validate.argtypes = [ctypes.c_char_p]
+    if hasattr(lib, "gtx_remux_cut"):
+        lib.gtx_remux_cut.restype = ctypes.c_int
+        lib.gtx_remux_cut.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ]
     _remux_lib = lib
     return lib
 
@@ -252,6 +257,31 @@ def remux_concat(inputs, output) -> bool:
         *[str(p).encode() for p in inputs]
     )
     return lib.gtx_remux_concat(arr, len(inputs), str(output).encode()) == 0
+
+
+def remux_cut_frames(path, output, start_frame: int, end_frame: int) -> bool:
+    """Stream-copy frames [start_frame, end_frame] (display indices,
+    inclusive) into ``output`` without re-encoding. ``start_frame`` MUST be
+    a keyframe (use video.keyframe_indices to snap) or the clip head is
+    undecodable — the same contract as the reference's `ffmpeg -ss -c copy`
+    cut (reference tools/cut_merged_videos_and_logs.py:358). Returns False
+    when the native library or the stream's pts map is unavailable (callers
+    fall back to decode/re-encode)."""
+    lib = _load_remux_library()
+    if lib is None or not hasattr(lib, "gtx_remux_cut"):
+        return False
+    scan = scan_frame_pts(str(path))
+    if scan is None:
+        return False
+    pts, _keys = scan
+    n = len(pts)
+    if not (0 <= start_frame <= end_frame < n):
+        return False
+    rc = lib.gtx_remux_cut(
+        str(path).encode(), str(output).encode(),
+        int(pts[start_frame]), int(pts[end_frame]),
+    )
+    return rc == 0
 
 
 def validate_video(path) -> Optional[bool]:

@@ -212,3 +212,85 @@ def test_flight_log_prefer_csv(tmp_path):
     assert list(df["frame"]) == [7]
     df2 = dji_srt.flight_log(video, prefer="srt")
     assert list(df2["frame"]) == [0]
+
+
+def test_cut_tool_session_mode(tmp_path):
+    """Reference-parity session mode (reference cut_merged_videos_and_logs):
+    data_dir scan -> <stem>.txt cuts plan -> keyframe-adjusted starts saved
+    to <stem>_adjusted.txt -> per-cut 13-col CSV from the merged SRT ->
+    GPS-labeled <LABEL><n>.mp4 clips stream-copied from the merged video."""
+    import json
+    import subprocess
+    import sys
+
+    from geotrax_tpu.io.native import load_encoder_library
+    from geotrax_tpu.io.video import VideoReader, VideoWriter, keyframe_indices
+
+    if load_encoder_library() is None:
+        pytest.skip("native encoder unavailable")
+
+    n, w, h = 70, 128, 96
+    session = tmp_path / "2022-10-04" / "D1"
+    session.mkdir(parents=True)
+    video = session / "merged.mp4"
+    rng = np.random.default_rng(0)
+    base = np.kron(rng.integers(0, 255, (12, 16, 3)), np.ones((8, 8, 1))).astype(np.uint8)
+    wr = VideoWriter(video, 30.0, w, h, fourcc="mp4v")
+    for t in range(n):
+        f = base[:h, :w].copy()
+        f[10:20, (t * 2) % (w - 12):][:, :10] = (255, 0, 0)
+        wr.write(f)
+    wr.close()
+
+    # cuts plan (1-indexed, end exclusive; -1 = end of video); starts NOT on
+    # keyframes so the forward adjustment is exercised
+    (session / "merged.txt").write_text("3,31\n32,-1\n")
+
+    blocks = []
+    for t in range(n):
+        lat, lon = (37.3823, 126.6564) if t < 31 else (37.3900, 126.6600)
+        t0_ms, t1_ms = t * 33, (t + 1) * 33
+        blocks.append(
+            f"{t+1}\n{dji_srt.ms_to_timestamp(t0_ms)} --> {dji_srt.ms_to_timestamp(t1_ms)}\n"
+            f"FrameCnt: {t+1}, DiffTime: 33ms\n"
+            f"2022-10-04 17:52:{t//30:02d}.{(t%30)*33:03d}\n"
+            f"[iso : 100] [shutter : 1/1000] [fnum : 2.8] [ev : 0] [ct : 5500] "
+            f"[color_md : default] [focal_len : 280]\n"
+            f"[latitude: {lat:.6f}] [longitude: {lon:.6f}] [rel_alt: 148.0 abs_alt: 160.0]\n"
+        )
+    (session / "merged.srt").write_text("\n".join(blocks))
+    loc_json = tmp_path / "loc.json"
+    loc_json.write_text(json.dumps({"U": [37.3823, 126.6564], "K": [37.3900, 126.6600]}))
+
+    tools = Path(__file__).resolve().parents[1] / "tools"
+    result = subprocess.run(
+        [sys.executable, str(tools / "cut_merged_videos_and_logs.py"),
+         str(tmp_path), "-lm", str(loc_json)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert result.returncode == 0, result.stderr
+
+    adjusted = (session / "merged_adjusted.txt").read_text().splitlines()
+    assert len(adjusted) == 2
+    kfs = set(keyframe_indices(video))
+    for line in adjusted:
+        start_1idx = int(line.split(",")[0])
+        assert start_1idx - 1 in kfs, f"adjusted start {start_1idx} not on a keyframe"
+
+    clips = sorted(p.name for p in session.glob("[UK]*.mp4"))
+    assert clips == ["K1.mp4", "U1.mp4"], (clips, result.stdout)
+
+    import pandas as pd
+
+    df = pd.read_csv(session / "U1.csv")
+    assert list(df.columns) == [
+        "frame", "timestamp", "iso", "shutter", "fnum", "ev", "ct",
+        "color_md", "focal_len", "latitude", "longitude", "rel_alt", "abs_alt"]
+    assert df["frame"].iloc[0] == 0
+    assert str(df["timestamp"].iloc[0]).startswith("2022-10-04")
+
+    # the stream-copied clip decodes and matches the source frame count:
+    # adjusted start (keyframe) .. end-1, 1-indexed exclusive end
+    start1, end1 = (int(v) for v in adjusted[0].split(",")[:2])
+    n_clip = sum(1 for _ in VideoReader(session / "U1.mp4"))
+    assert n_clip == (end1 - 1) - (start1 - 1) - 1 + 1 == end1 - start1

@@ -118,8 +118,21 @@ def _rotate_frame(frame: np.ndarray, rotation: int) -> np.ndarray:
 
 def cut_video(video: Path, start: int, end_incl: int, out: Path,
               rotation: int, bitrate: int, logger: logging.Logger) -> int:
-    """Decode frames [start, end_incl] and re-encode to ``out``. Returns the
-    number of frames written."""
+    """Cut frames [start, end_incl] to ``out``. When the start lands on a
+    keyframe and no rotation/bitrate change is requested, the cut is a
+    native STREAM COPY (io/native/remux.cpp gtx_remux_cut) — bit-identical
+    packets, no generation loss, the same behavior as the reference's
+    `ffmpeg -ss .. -c copy` (reference cut_merged_videos_and_logs.py:358).
+    Otherwise decode + re-encode. Returns the number of frames written."""
+    if rotation % 360 == 0 and not bitrate:
+        from geotrax_tpu.io.native import remux_cut_frames
+        from geotrax_tpu.io.video import keyframe_indices
+
+        if start in set(keyframe_indices(video)) and remux_cut_frames(
+                video, out, start, end_incl):
+            n = end_incl - start + 1
+            logger.info(f"Stream-copied {n} frames [{start}, {end_incl}] -> {out}")
+            return n
     info = probe_video(video)
     swap = rotation % 180 != 0
     w, h = (info.height, info.width) if swap else (info.width, info.height)
