@@ -186,26 +186,18 @@ class FusedExtractor:
         self._detect = detector.batch_trace(src_h, src_w)
         self._detect_resized = None
         self._resize_geom = None
-        # Detector params ride through the jit boundary as an ARGUMENT, not
-        # a closure: closed-over device arrays become inline HLO constants,
-        # which bloats the program and defeats the persistent compilation
-        # cache (each process would re-compile the whole fused program).
-        # They are packed into ONE flat buffer: dispatching ~200 separate
-        # param arrays costs ~400 ms/chunk in per-buffer argument overhead
-        # on the remote-device transport (measured: detect-only 129 ms with
-        # closed-over weights vs 532 ms with the weight pytree as 200 args;
-        # one packed buffer restores the closed-over cost). The unravel
-        # inside the program is static slices/reshapes — free after fusion.
-        raw_params = getattr(detector, "params", None) or {}
-        if jax.tree_util.tree_leaves(raw_params):
-            from jax.flatten_util import ravel_pytree
-
-            flat, unravel = ravel_pytree(raw_params)
-            self._params = jax.device_put(flat)
-            self._unravel_params = unravel
-        else:
-            self._params = jnp.zeros((0,), jnp.float32)
-            self._unravel_params = lambda _x: raw_params
+        # Detector params are CLOSED OVER (inline HLO constants), not jit
+        # arguments. Measured on-chip A/B of the identical detect program
+        # (32-frame 4K chunk, value-fetch fence): closed-over 148.5 ms/chunk
+        # vs 236.6 ms with the weights packed into ONE flat bf16 argument —
+        # XLA pre-packs constant conv weights into their tiled MXU layouts at
+        # compile time, while runtime operands pay a re-layout on every
+        # dispatch. (Weights as ~200 separate args are far worse still:
+        # 532 ms/chunk of per-buffer dispatch overhead on the remote-device
+        # transport.) The persistent compilation cache keys on the serialized
+        # HLO, so identical weights still hit across processes; a NEW
+        # checkpoint costs one compile per deployment, which a campaign
+        # (20 intersections x many clips, one model) amortizes to zero.
 
         if self.stab_on:
             proto = Stabilizer(**stabilo_cfg)
@@ -303,9 +295,8 @@ class FusedExtractor:
         inv_scale = jnp.asarray(np.diag([1.0 / s, 1.0 / s, 1.0]), jnp.float32)
         return inv_scale @ h_ds @ scale
 
-    def _chunk_impl(self, params_flat, frames_u8, state, ref: Optional[RefFeatures],
+    def _chunk_impl(self, frames_u8, state, ref: Optional[RefFeatures],
                     gmc_carry, h_prev, key, fids, n_valid, first):
-        params = self._unravel_params(params_flat)
         c = frames_u8.shape[0]
         resized = None
         if self._detect_resized is not None:
@@ -313,9 +304,9 @@ class FusedExtractor:
 
             nh, nw = self._resize_geom
             resized = jax.vmap(lambda f: resize_u8_linear(f, nh, nw))(frames_u8)
-            det = self._detect_resized(resized, fids, params=params)
+            det = self._detect_resized(resized, fids)
         else:
-            det = self._detect(frames_u8, fids, params=params)
+            det = self._detect(frames_u8, fids)
         det_boxes, det_valid = det["boxes_xywh"], det["valid"]
         det_emb = None
         if self.with_reid:
@@ -495,7 +486,7 @@ class FusedExtractor:
                 jnp.zeros((GMC_FEATURES,), bool),
             )
         self.state, out, self._ref, self._gmc_carry, self._h_prev = self._step(
-            self._params, frames, self.state, self._ref, self._gmc_carry,
+            frames, self.state, self._ref, self._gmc_carry,
             self._h_prev, self._key, fids, jnp.asarray(n_valid, jnp.int32),
             jnp.asarray(first),
         )
