@@ -56,11 +56,17 @@ class Detector:
         else:
             self.params, self.spec, self.class_names = load_model(model_path)
         if self.half:
-            self.params = jax.tree.map(
+            # ONE jitted cast program for the whole tree: an eager per-leaf
+            # astype is ~200 separate dispatches, which on a remote-device
+            # transport (axon tunnel) costs tens of seconds of pure dispatch
+            # latency at model-load time (measured round 5; local PCIe hosts
+            # barely notice). jit collapses it to a single dispatch.
+            cast = jax.jit(lambda tree: jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16)
                 if jnp.issubdtype(a.dtype, jnp.floating) else a,
-                self.params,
-            )
+                tree,
+            ))
+            self.params = cast(self.params)
         classes = detect_cfg.get("classes")
         self.class_mask = None
         if classes is not None:

@@ -63,26 +63,26 @@ def _transform_boxes(h_matrix: np.ndarray, boxes_xywh: np.ndarray) -> np.ndarray
     ))
 
 
-def track_video(args, config: dict, logger) -> tuple:
-    """Run the per-frame loop; returns (tracks_rows, transforms_rows, stats).
+# One chunk per fused dispatch. Shared by the CLI host loop and bench.py so
+# the benchmark compiles (and the persistent cache keeps) the exact program
+# `extract` runs. Larger batches raise detector MXU occupancy (bench: 3.9 ->
+# 3.2 ms/frame fwd); 64 exhausts v5e HBM at 4K.
+FUSED_CHUNK = 32
 
-    Two execution paths: the fused device pipeline (one jit dispatch per
-    16-frame chunk — detect+NMS+stabilize+GMC+track+box-transform, see
-    device_pipeline.py) when the detector and stabilizer support it, and the
-    sequential per-frame loop otherwise (RT-DETR, oracle test detectors,
-    SIFT-class stabilizers)."""
+
+def make_extract_tracker(config: dict, logger):
+    """Tracker construction exactly as the extract stage performs it —
+    (tracker_cfg, tracker_state, tracker_step, reid_params). Factored out so
+    bench.py builds a bit-identical program (same max_tracks capacity, same
+    parameter block, same ReID resolution). Reference analog: the tracker
+    ultralytics constructs inside model.track() (SURVEY.md §3.2)."""
     from geotrax_tpu.track import make_tracker
 
     main = config["main"]
-    extraction = main["extraction"]
-    stabilize_on = bool(extraction.get("stabilize", True))
-
-    detector = load_detector(config, logger)
     max_det = int(config["ultralytics"].get("max_det", 1000) or 1000)
-    tracker_name = main["tracker_active"]
-    tracker_params = main["tracker_params"]
     tracker_cfg, tracker_state, tracker_step = make_tracker(
-        tracker_name, tracker_params, max_tracks=max(256, min(max_det, 1024))
+        main["tracker_active"], main["tracker_params"],
+        max_tracks=max(256, min(max_det, 1024))
     )
     # Learned ReID head (cfg tracker.<name>.model: path.npz) — None keeps the
     # weight-free projection embedding (reference cfg/default.yaml:377-379).
@@ -90,7 +90,46 @@ def track_video(args, config: dict, logger) -> tuple:
     if bool(getattr(tracker_cfg, "with_reid", False)):
         from geotrax_tpu.track.reid import resolve_head
 
-        reid_params = resolve_head(tracker_params, logger)
+        reid_params = resolve_head(main["tracker_params"], logger)
+    return tracker_cfg, tracker_state, tracker_step, reid_params
+
+
+def make_fused_extractor(config: dict, detector, tracker_cfg, tracker_state,
+                         tracker_step, stabilize_on: bool, src_h: int,
+                         src_w: int, reid_params=None):
+    """Construct the production FusedExtractor exactly as the extract host
+    loop does (single source of truth for chunk size, stabilo wiring, GMC
+    and ReID flags). bench.py calls this so its headline measures — and
+    pre-warms the compile cache for — the very program the CLI dispatches."""
+    from geotrax_tpu.pipeline.device_pipeline import FusedExtractor
+
+    return FusedExtractor(
+        detector,
+        config.get("stabilo", {}) if stabilize_on else None,
+        tracker_step, tracker_state, src_h, src_w,
+        use_gmc=bool(getattr(tracker_cfg, "use_gmc", False)),
+        chunk=FUSED_CHUNK,
+        with_reid=bool(getattr(tracker_cfg, "with_reid", False)),
+        reid_params=reid_params,
+    )
+
+
+def track_video(args, config: dict, logger) -> tuple:
+    """Run the per-frame loop; returns (tracks_rows, transforms_rows, stats).
+
+    Two execution paths: the fused device pipeline (one jit dispatch per
+    chunk — detect+NMS+stabilize+GMC+track+box-transform, see
+    device_pipeline.py) when the detector and stabilizer support it, and the
+    sequential per-frame loop otherwise (RT-DETR, oracle test detectors,
+    SIFT-class stabilizers)."""
+    main = config["main"]
+    extraction = main["extraction"]
+    stabilize_on = bool(extraction.get("stabilize", True))
+
+    detector = load_detector(config, logger)
+    tracker_cfg, tracker_state, tracker_step, reid_params = (
+        make_extract_tracker(config, logger)
+    )
 
     cut_left = int(args.cut_frame_left or 0)
     cut_right = args.cut_frame_right
@@ -273,19 +312,12 @@ def _track_video_fused(args, config, logger, reader, detector, tracker_cfg,
     sequential path)."""
     import jax
 
-    from geotrax_tpu.pipeline.device_pipeline import FusedExtractor
-
     main = config["main"]
-    chunk = 32  # larger batches raise detector MXU occupancy (bench: 3.9 -> 3.2 ms/frame fwd)
+    chunk = FUSED_CHUNK
     src_w, src_h = reader.info.width, reader.info.height
-    fx = FusedExtractor(
-        detector,
-        config.get("stabilo", {}) if stabilize_on else None,
-        tracker_step, tracker_state, src_h, src_w,
-        use_gmc=bool(getattr(tracker_cfg, "use_gmc", False)),
-        chunk=chunk,
-        with_reid=bool(getattr(tracker_cfg, "with_reid", False)),
-        reid_params=reid_params,
+    fx = make_fused_extractor(
+        config, detector, tracker_cfg, tracker_state, tracker_step,
+        stabilize_on, src_h, src_w, reid_params=reid_params,
     )
     min_match_warning = 4
 
