@@ -229,15 +229,21 @@ def _level_features_banded(level_img: jnp.ndarray, budget: int,
     keypoints are restricted to each band's core rows, then the per-band
     results are concatenated and cut to the global ``budget`` by score.
 
-    Selection semantics: per-band quotas (budget/n_bands each) instead of a
-    whole-image top-k — spatially more uniform than OpenCV SIFT's global
-    contrast ordering, which helps RANSAC conditioning on large orthos.
+    Selection semantics: per-band quotas with a 2x contrast oversample —
+    each band detects up to 2x its budget/n_bands share, then the global
+    ``budget`` cut keeps the strongest scores across ALL bands. The
+    oversample lets contrast-rich bands reclaim quota a flat-texture band
+    (sea, forest) would waste on near-zero scores, while still bounding any
+    one band to 2x its share, so the selection stays spatially more uniform
+    than OpenCV SIFT's whole-image contrast ordering (better RANSAC
+    conditioning on large orthos) without the hard-tail starvation a strict
+    per-band cap produced (docs/GEOREF_ACCURACY.md, 15000^2 trial 1).
     """
     h, w = level_img.shape
     n_bands = int(np.ceil(h * w / BAND_PIXEL_LIMIT))
     core = int(np.ceil(h / n_bands))
     band_h = min(core + 2 * BAND_OVERLAP, h)
-    band_budget = int(np.ceil(budget / n_bands))
+    band_budget = int(np.ceil(2 * budget / n_bands))
 
     starts, bounds = [], []
     for i in range(n_bands):
@@ -309,7 +315,19 @@ def detect_and_describe(
         s for i, s in enumerate(all_scales)
         if i == 0 or min(int(round(h / s)), int(round(w / s))) >= 64
     ]
-    weights = np.array([1.0 / (s * s) for s in level_scales])
+    # Budget shares ~ 1/s per level, NOT 1/s^2 (pixel counts). Area-
+    # proportional shares starve the deep octaves that carry ALL the
+    # matchable structure under a large scale ratio: registering a 4K master
+    # frame against a 15000^2 ortho (reference regime, 3.2-3.7x zoom,
+    # cfg/default.yaml:158-168) matches frame level 0 against ortho levels
+    # 3-5, which under 1/s^2 held only ~11% of a 250k budget — measured 40
+    # raw matches / 29 inliers on the hard tail (docs/GEOREF_ACCURACY.md
+    # r4 trial 1, below the reference's 50-inlier gate,
+    # /root/reference/geotrax/georeference.py:592). 1/s keeps fine levels
+    # densest (same-scale runs keep thousands of inliers) while giving the
+    # deep levels ~2.2x more density, hedging across unknown scale ratios
+    # the way OpenCV SIFT's exhaustive contrast-ordered detection does.
+    weights = np.array([1.0 / s for s in level_scales])
     budgets = np.maximum((max_features * weights / weights.sum()).astype(int), 16)
 
     xs, scores, angles, valids, descs = [], [], [], [], []
