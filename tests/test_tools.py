@@ -597,7 +597,11 @@ def test_compare_av_dataset_mode(tmp_path):
     plots = tmp_path / "plots"
     assert (plots / "AV_errors_per_video.tex").exists()
     assert (plots / "AV_errors_per_intersection.tex").exists()
-    assert (plots / "AV_trajectories.pdf").exists()
+    assert (plots / "AV_trajectories_local.pdf").exists()
+    assert (plots / "AV_trajectories_all.pdf").exists()
+    assert (plots / "AV_speed_comparison.pdf").exists()
+    assert (plots / "AV_acceleration_comparison.pdf").exists()
+    assert (plots / "AV_positional_and_speed_errors.pdf").exists()
     assert (plots / "AV_speed_error_sweep.pdf").exists()
     # per-video tex has 3 rows, per-intersection 2 (K merged from K1+K2)
     assert len((plots / "AV_errors_per_video.tex").read_text().splitlines()) == 3

@@ -186,7 +186,7 @@ def path_length(df: pd.DataFrame) -> float:
 
 
 # ---------------------------------------------------------------------------
-# Kinematics recomputation (for the sweep)
+# Kinematics recomputation (for the sweep + the kinematics plots)
 # ---------------------------------------------------------------------------
 
 def smoothed_speed(ext: pd.DataFrame, param: float, filter_type: str,
@@ -203,6 +203,48 @@ def smoothed_speed(ext: pd.DataFrame, param: float, filter_type: str,
     else:
         smooth = apply_filter(raw, max(int(round(param)), 1), filter_type)
     return np.insert(smooth * 3.6, 0, np.nan)
+
+
+def compute_kinematics(ext: pd.DataFrame, param: float, filter_type: str,
+                       fps: float) -> pd.DataFrame:
+    """Recompute Vehicle_Speed [km/h] AND Vehicle_Acceleration [m/s^2] from
+    raw Local_X/Y under one smoothing setting, plus an Elapsed_Time column
+    (reference compute_kinematics: speed from position deltas, acceleration
+    as the centered gradient of the smoothed speed)."""
+    out = ext.copy()
+    spd_kmh = smoothed_speed(ext, param, filter_type, fps)
+    out["Vehicle_Speed"] = spd_kmh
+    spd_mps = np.asarray(spd_kmh, float) / 3.6
+    acc = np.full(len(out), np.nan)
+    if len(out) > 2:
+        acc[1:] = np.gradient(spd_mps[1:], 1.0 / fps)
+    out["Vehicle_Acceleration"] = acc
+    out["Elapsed_Time"] = elapsed_seconds(out, fps)
+    return out
+
+
+def elapsed_seconds(df: pd.DataFrame, fps: float) -> np.ndarray:
+    """Seconds since the first row: from Timestamp when present (probe logs,
+    timestamped CSVs), else Frame_Number / fps."""
+    if "Timestamp" in df.columns and df["Timestamp"].notna().all():
+        ts = pd.to_datetime(df["Timestamp"])
+        return (ts - ts.iloc[0]).dt.total_seconds().to_numpy()
+    if "Frame_Number" in df.columns:
+        f = df["Frame_Number"].to_numpy(float)
+        return (f - f[0]) / fps
+    return np.arange(len(df), dtype=float) / fps
+
+
+def probe_acceleration(probe: pd.DataFrame) -> np.ndarray:
+    """Probe acceleration [m/s^2] as the time-gradient of the RTK speed
+    (the RTK logs carry horizontal speed only)."""
+    if "speed_kmh" not in probe.columns or len(probe) < 3:
+        return np.full(len(probe), np.nan)
+    t = pd.to_datetime(probe["Timestamp"])
+    secs = (t - t.iloc[0]).dt.total_seconds().to_numpy()
+    if np.any(np.diff(secs) <= 0):
+        return np.full(len(probe), np.nan)
+    return np.gradient(probe["speed_kmh"].to_numpy(float) / 3.6, secs)
 
 
 def default_grid(filter_type: str) -> np.ndarray:
@@ -277,43 +319,243 @@ def save_latex(vstats: dict, istats: dict, imeta: dict, out_dir: Path) -> None:
     print(f"LaTeX tables -> {out_dir}")
 
 
-def save_plots(pairs: dict, sweep: dict | None, out_dir: Path) -> None:
-    """PDF plots: probe-vs-extracted trajectories per video, and (when
-    tuning) the per-intersection sweep curves."""
-    import matplotlib
-
-    matplotlib.use("Agg")
+def _video_grid(n: int, cols: int = 4):
     import matplotlib.pyplot as plt
 
-    out_dir.mkdir(parents=True, exist_ok=True)
-    n = len(pairs)
-    cols = min(n, 4)
+    cols = min(max(n, 1), cols)
     rows = (n + cols - 1) // cols
-    fig, axs = plt.subplots(rows, cols, figsize=(4 * cols, 3.2 * rows), squeeze=False)
-    for ax, (video, (probe_f, ext)) in zip(axs.flat, sorted(pairs.items())):
-        ax.plot(probe_f["Local_X"], probe_f["Local_Y"], "k-", lw=1.2, label="RTK probe")
-        ax.plot(ext["Local_X"], ext["Local_Y"], "--", lw=1.2, label="extracted")
-        ax.set_title(video, fontsize=9)
-        ax.set_aspect("equal", adjustable="datalim")
-        ax.tick_params(labelsize=7)
+    fig, axs = plt.subplots(rows, cols, figsize=(4 * cols, 3.2 * rows),
+                            squeeze=False)
     for ax in axs.flat[n:]:
         ax.axis("off")
-    axs.flat[0].legend(fontsize=7)
+    return fig, axs
+
+
+def _finish(fig, name: str, args, out_dir: Path) -> None:
     fig.tight_layout()
-    fig.savefig(out_dir / "AV_trajectories.pdf")
+    if args.save:
+        out_dir.mkdir(parents=True, exist_ok=True)
+        fig.savefig(out_dir / f"AV_{name}.pdf", bbox_inches="tight")
+    if args.show:
+        import matplotlib.pyplot as plt
+
+        plt.show()
+    import matplotlib.pyplot as plt
+
     plt.close(fig)
-    if sweep:
-        fig, ax = plt.subplots(figsize=(6, 4))
-        for inter, (grid, means, stds) in sorted(sweep.items()):
-            ax.plot(grid, means, label=f"{inter} mean |err|")
-            ax.plot(grid, stds, "--", alpha=0.6, label=f"{inter} std")
-        ax.set_xlabel("smoothing parameter")
-        ax.set_ylabel("speed error [km/h]")
+
+
+_COORD_COLS = {
+    # probe columns, extracted columns, equal-aspect
+    "local": (("Local_X", "Local_Y"), ("Local_X", "Local_Y"), True),
+    "global": (("Longitude", "Latitude"), ("Longitude", "Latitude"), False),
+    "ortho": ((None, None), ("Ortho_X", "Ortho_Y"), True),
+}
+
+
+def plot_trajectories(pairs: dict, args, out_dir: Path) -> None:
+    """Probe-vs-extracted trajectories per video in the selected coordinate
+    frame: 'local' metres (reference plot_geo_trajectories_video), 'global'
+    lon/lat (reference --coords global), or 'ortho' pixels with an optional
+    orthophoto background via --ortho-image (the reference's
+    plot_img_trajectories_video analog — ours anchors to the orthophoto
+    rather than the first video frame, which the georeferenced CSVs don't
+    reference anymore)."""
+    (pcx, pcy), (ecx, ecy), equal = _COORD_COLS[args.coords]
+    bg = None
+    if args.coords == "ortho" and args.ortho_image is not None:
+        from PIL import Image
+
+        bg = np.asarray(Image.open(args.ortho_image).convert("RGB"))
+    fig, axs = _video_grid(len(pairs))
+    for ax, (video, (probe_f, ext)) in zip(axs.flat, sorted(pairs.items())):
+        if bg is not None:
+            ax.imshow(bg)
+        if pcx is not None and pcx in probe_f.columns:
+            ax.plot(probe_f[pcx], probe_f[pcy], "k-", lw=1.2, label="RTK probe")
+        if ecx in ext.columns:
+            ax.plot(ext[ecx], ext[ecy], "--", lw=1.2, label="extracted")
+        ax.set_title(video, fontsize=9)
+        if equal and bg is None:
+            ax.set_aspect("equal", adjustable="datalim")
+        if args.coords == "ortho" and bg is None:
+            ax.invert_yaxis()  # pixel frame: y grows downward
+        ax.tick_params(labelsize=7)
+    axs.flat[0].legend(fontsize=7)
+    _finish(fig, f"trajectories_{args.coords}", args, out_dir)
+
+
+def plot_trajectories_all(pairs: dict, args, out_dir: Path) -> None:
+    """All extracted passes on ONE axes, speed-colored, probe in black —
+    the reference's plot_geo_trajectories_all(speed_on=True) overview."""
+    import matplotlib.pyplot as plt
+
+    (pcx, pcy), (ecx, ecy), equal = _COORD_COLS[
+        args.coords if args.coords != "ortho" else "local"]
+    fig, ax = plt.subplots(figsize=(8, 7))
+    last = None
+    for video, (probe_f, ext) in sorted(pairs.items()):
+        if pcx in probe_f.columns:
+            ax.plot(probe_f[pcx], probe_f[pcy], "k-", lw=0.8, alpha=0.7)
+        if "Vehicle_Speed" in ext.columns:
+            last = ax.scatter(ext[ecx], ext[ecy], c=ext["Vehicle_Speed"],
+                              s=3, cmap="viridis")
+        else:
+            ax.plot(ext[ecx], ext[ecy], lw=1.0)
+    if last is not None:
+        fig.colorbar(last, ax=ax, label="speed (km/h)")
+    if equal:
+        ax.set_aspect("equal", adjustable="datalim")
+    ax.set_title("all passes (probe black, extracted speed-colored)", fontsize=10)
+    _finish(fig, "trajectories_all", args, out_dir)
+
+
+def plot_kinematics(pairs: dict, args, out_dir: Path, variable: str) -> None:
+    """Per-video speed or acceleration traces vs elapsed time, probe in
+    black, extracted colored, SHARED y-limits across panels (reference
+    plot_kinematics: the shared axis is what makes cross-video filter
+    artifacts visible)."""
+    probe_col = "speed_kmh" if variable == "speed" else "_acc"
+    ext_col = "Vehicle_Speed" if variable == "speed" else "Vehicle_Acceleration"
+    unit = "km/h" if variable == "speed" else "m/s$^2$"
+    fig, axs = _video_grid(len(pairs))
+    lo, hi = np.inf, -np.inf
+    drawn = []
+    for ax, (video, (probe_f, ext)) in zip(axs.flat, sorted(pairs.items())):
+        pt = elapsed_seconds(probe_f, args.fps)
+        et = ext["Elapsed_Time"].to_numpy() if "Elapsed_Time" in ext.columns \
+            else elapsed_seconds(ext, args.fps)
+        pv = (probe_f["speed_kmh"].to_numpy(float)
+              if variable == "speed" and "speed_kmh" in probe_f.columns
+              else probe_acceleration(probe_f) if variable == "acceleration"
+              else np.full(len(probe_f), np.nan))
+        ev = ext[ext_col].to_numpy(float) if ext_col in ext.columns \
+            else np.full(len(ext), np.nan)
+        # clip the extracted trace to the probe window (reference clips at
+        # stanford_time_stop so the panels compare the same pass)
+        if len(pt):
+            keep = et <= pt[-1] + 1.0
+            et, ev = et[keep], ev[keep]
+        ax.plot(pt, pv, "k-", lw=1.0, label="RTK probe")
+        ax.scatter(pt, pv, color="k", s=2)
+        ax.plot(et, ev, lw=1.0, alpha=0.85, label="extracted")
+        ax.scatter(et, ev, s=2, alpha=0.85)
+        ax.set_title(video, fontsize=9)
+        ax.set_xlabel("elapsed time (s)", fontsize=8)
+        ax.set_ylabel(f"{variable} ({unit})", fontsize=8)
+        ax.tick_params(labelsize=7)
+        for v in (pv, ev):
+            v = v[np.isfinite(v)]
+            if v.size:
+                lo, hi = min(lo, v.min()), max(hi, v.max())
+        drawn.append(ax)
+    if np.isfinite(lo) and np.isfinite(hi):
+        step = 5.0 if variable == "speed" else 1.0
+        lo = step * np.floor(lo / step)
+        hi = step * np.ceil(hi / step)
+        for ax in drawn:
+            ax.set_ylim(lo, hi)
+    if drawn:
+        drawn[0].legend(fontsize=7)
+    _finish(fig, f"{variable}_comparison", args, out_dir)
+
+
+def plot_error_summary(vstats: dict, args, out_dir: Path) -> None:
+    """Per-video mean +/- std positional and speed errors as errorbar panels
+    (reference plot_positional_and_speed_errors)."""
+    import matplotlib.pyplot as plt
+
+    videos = sorted(vstats)
+    xs = np.arange(len(videos))
+    fig, (a0, a1) = plt.subplots(1, 2, figsize=(max(8, 1.2 * len(videos)), 4))
+    a0.errorbar(xs, [vstats[v]["pos_mean"] for v in videos],
+                yerr=[vstats[v]["pos_std"] for v in videos], fmt="o", capsize=3)
+    a0.set_ylabel("positional error (m)")
+    a1.errorbar(xs, [vstats[v]["spd_mean"] for v in videos],
+                yerr=[vstats[v]["spd_std"] for v in videos], fmt="o", capsize=3)
+    a1.set_ylabel("|speed error| (km/h)")
+    for ax in (a0, a1):
+        ax.set_xticks(xs)
+        ax.set_xticklabels(videos, rotation=45, ha="right", fontsize=7)
+        ax.grid(alpha=0.3)
+    _finish(fig, "positional_and_speed_errors", args, out_dir)
+
+
+def plot_sweep(sweep: dict, args, out_dir: Path) -> None:
+    """Per-intersection sweep panels with both best-parameter markers
+    (reference plot_tuned_speed_errors: one panel per intersection, the
+    argmin-mean and argmin-std settings marked)."""
+    fig, axs = _video_grid(len(sweep), cols=3)
+    for ax, (inter, (grid, means, stds)) in zip(axs.flat, sorted(sweep.items())):
+        ax.plot(grid, means, label="mean |err|")
+        ax.plot(grid, stds, "--", alpha=0.7, label="std")
+        i_m = int(np.nanargmin(means))
+        i_s = int(np.nanargmin(stds))
+        ax.axvline(grid[i_m], color="C0", ls=":", alpha=0.8)
+        ax.axvline(grid[i_s], color="C1", ls=":", alpha=0.8)
+        ax.set_title(f"intersection {inter} "
+                     f"(best mean {grid[i_m]:g}, best std {grid[i_s]:g})",
+                     fontsize=8)
+        ax.set_xlabel("smoothing parameter", fontsize=8)
+        ax.set_ylabel("speed error (km/h)", fontsize=8)
+        ax.tick_params(labelsize=7)
+    axs.flat[0].legend(fontsize=7)
+    _finish(fig, "speed_error_sweep", args, out_dir)
+
+
+def plot_sampling_diff(pairs: dict, args, out_dir: Path) -> None:
+    """Debug view: successive-timestamp deltas for the probe logs and the
+    extracted CSVs, with mean/std guides (reference plot_sampling_diff,
+    gated on --debug like the reference)."""
+    import matplotlib.pyplot as plt
+
+    fig, (a0, a1) = plt.subplots(1, 2, figsize=(13, 5))
+    probe_d = [pd.to_datetime(p["Timestamp"]).diff().dt.total_seconds().dropna()
+               for p, _ in pairs.values() if "Timestamp" in p.columns]
+    ext_d = []
+    for _, e in pairs.values():
+        if "Timestamp" in e.columns and e["Timestamp"].notna().all():
+            ext_d.append(pd.to_datetime(e["Timestamp"]).diff()
+                         .dt.total_seconds().dropna())
+    for ax, series, title in ((a0, probe_d, "probe"), (a1, ext_d, "extracted")):
+        if not series:
+            ax.set_title(f"{title}: no timestamps")
+            continue
+        cat = pd.concat(series).reset_index(drop=True)
+        ax.plot(cat, color="black", lw=0.7)
+        m, s = cat.mean(), cat.std()
+        ax.axhline(m, color="r", ls="--", label=f"mean {m:.3f}")
+        ax.axhline(m + s, color="g", ls="--", label=f"+/- std {s:.3f}")
+        ax.axhline(m - s, color="g", ls="--")
+        ax.set_xlabel("sample")
+        ax.set_ylabel("time difference (s)")
+        ax.set_title(f"sampling differences: {title}")
         ax.legend(fontsize=7)
-        fig.tight_layout()
-        fig.savefig(out_dir / "AV_speed_error_sweep.pdf")
-        plt.close(fig)
-    print(f"Plots -> {out_dir}")
+    _finish(fig, "sampling_diff", args, out_dir)
+
+
+def save_plots(pairs: dict, vstats: dict, sweep: dict | None, args,
+               out_dir: Path) -> None:
+    """The reference's full plot surface: per-video trajectories (selected
+    coordinate frame), all-passes speed-colored overview, per-video speed and
+    acceleration traces, per-video error summary, per-intersection sweep
+    panels, and (--debug) sampling diagnostics."""
+    import matplotlib
+
+    if not args.show:
+        matplotlib.use("Agg")
+
+    plot_trajectories(pairs, args, out_dir)
+    plot_trajectories_all(pairs, args, out_dir)
+    plot_kinematics(pairs, args, out_dir, "speed")
+    plot_kinematics(pairs, args, out_dir, "acceleration")
+    plot_error_summary(vstats, args, out_dir)
+    if sweep:
+        plot_sweep(sweep, args, out_dir)
+    if args.debug:
+        plot_sampling_diff(pairs, args, out_dir)
+    if args.save:
+        print(f"Plots -> {out_dir}")
 
 
 # ---------------------------------------------------------------------------
@@ -449,12 +691,32 @@ def main() -> int:
                         help="Probe fixes below this speed [km/h] are excluded")
     parser.add_argument("--save", action="store_true",
                         help="Write LaTeX tables + PDF plots next to the results")
+    parser.add_argument("--show", action="store_true",
+                        help="Display plots interactively (reference --show)")
+    parser.add_argument("--coords", choices=("local", "global", "ortho"),
+                        default="local",
+                        help="Trajectory plot frame: local metres, global "
+                             "lon/lat, or orthophoto pixels (reference --coords)")
+    parser.add_argument("--ortho-image", type=Path, default=None,
+                        help="[--coords ortho] orthophoto raster drawn under "
+                             "the pixel trajectories")
+    parser.add_argument("--smooth", type=float, default=None,
+                        help="Recompute extracted speed+acceleration from raw "
+                             "positions with this smoothing parameter before "
+                             "the analysis (e.g. the tuned sigma)")
+    parser.add_argument("--debug", "-d", action="store_true",
+                        help="Extra diagnostics: sampling-difference plots "
+                             "(reference --debug)")
     parser.add_argument("--out", type=Path, default=None,
                         help="Output folder for --save (default: <data>/plots)")
     args = parser.parse_args()
 
     pairs = (pairs_from_dataset(args) if args.data.is_dir()
              else pairs_from_single_csv(args))
+
+    if args.smooth is not None:
+        pairs = {v: (p, compute_kinematics(e, args.smooth, args.filter, args.fps))
+                 for v, (p, e) in pairs.items()}
 
     vstats, istats, imeta = summarize(pairs, args.stop_threshold)
     print_stats(vstats, istats, imeta)
@@ -464,10 +726,11 @@ def main() -> int:
         grid = np.asarray(args.grid, float) if args.grid else default_grid(args.filter)
         sweep = tune(pairs, args.filter, grid, args.fps, args.stop_threshold)
 
+    out = args.out or ((args.data if args.data.is_dir() else args.data.parent) / "plots")
     if args.save:
-        out = args.out or ((args.data if args.data.is_dir() else args.data.parent) / "plots")
         save_latex(vstats, istats, imeta, out)
-        save_plots(pairs, sweep, out)
+    if args.save or args.show:
+        save_plots(pairs, vstats, sweep, args, out)
     return 0
 
 
