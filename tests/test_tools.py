@@ -673,14 +673,16 @@ def test_sample_frames_balanced_and_filters(tmp_path):
     r = run_tool("sample_frames.py", data, "-o", tmp_path / "f4", "-n", "99",
                  "--csv-filter", "rel_alt:130:160")
     assert r.returncode == 0, r.stderr
-    assert "no flight log" in r.stdout and "B" in r.stdout
+    # exclusion warnings go through the stage logger (console handler on
+    # stderr, reference tools/sample_frames.py --log-path/--quiet surface)
+    assert "no flight log" in r.stderr and "B" in r.stderr
 
     # dry-run writes nothing
     out5 = tmp_path / "frames5"
     r = run_tool("sample_frames.py", data, "-o", out5, "-n", "4", "--dry-run")
     assert r.returncode == 0, r.stderr
     assert not out5.exists()
-    assert r.stdout.count("[dry-run]") == 4
+    assert (r.stdout + r.stderr).count("[dry-run]") == 4
 
 
 def test_compute_bb_center_error(tmp_path):

@@ -709,7 +709,37 @@ def main() -> int:
                              "(reference --debug)")
     parser.add_argument("--out", type=Path, default=None,
                         help="Output folder for --save (default: <data>/plots)")
+    parser.add_argument("--cfg", "-c", type=Path, default=None,
+                        help="Pipeline config: resolves the results subfolder "
+                             "name from output.folder (reference --cfg); "
+                             "--results-folder overrides")
+    parser.add_argument("--log-path", "-lp", type=Path, default=None,
+                        help="Log file or directory (default: platform log dir)")
+    parser.add_argument("--quiet", "-q", action="store_true",
+                        help="Console shows NOTICE-and-up only")
     args = parser.parse_args()
+
+    from geotrax_tpu.utils.logging_utils import NOTICE_LEVEL, setup_logger
+
+    logger = setup_logger(Path(__file__).stem, verbose=False,
+                          log_path=args.log_path)
+    if args.quiet:
+        import logging
+
+        for h in logger.handlers:
+            if isinstance(h, logging.StreamHandler) and not isinstance(
+                    h, logging.FileHandler):
+                h.setLevel(NOTICE_LEVEL)
+
+    if args.cfg is not None and args.results_folder == "results":
+        # reference --cfg semantics: the pipeline config's output.folder names
+        # the per-video results subfolder the stages wrote to
+        import yaml
+
+        from geotrax_tpu.utils.config_utils import resolve_config_path
+
+        cfg = yaml.safe_load(Path(resolve_config_path(args.cfg)).read_text())
+        args.results_folder = (cfg.get("output", {}) or {}).get("folder", "results")
 
     pairs = (pairs_from_dataset(args) if args.data.is_dir()
              else pairs_from_single_csv(args))

@@ -48,6 +48,7 @@ import dji_srt  # noqa: E402
 from geotrax_tpu.io.geoassets import save_image  # noqa: E402
 from geotrax_tpu.io.video import VideoReader, probe_video  # noqa: E402
 from geotrax_tpu.utils.constants import VIDEO_FORMATS  # noqa: E402
+from geotrax_tpu.utils.logging_utils import setup_logger  # noqa: E402
 
 
 def parse_filters(strings: list[str] | None) -> dict[str, tuple[float | None, float | None]]:
@@ -75,7 +76,8 @@ def flight_log_frame(video: Path, want_csv: bool):
     return dji_srt.flight_log(video, prefer="csv" if want_csv else "srt")
 
 
-def filtered_pool(video: Path, total: int, filters, want_csv: bool) -> np.ndarray | None:
+def filtered_pool(video: Path, total: int, filters, want_csv: bool,
+                  logger=None) -> np.ndarray | None:
     """Frame indices whose flight-log row satisfies every 'field:min:max'
     criterion. None = video has no usable log (caller excludes it);
     a field missing from the log never rejects (reference semantics)."""
@@ -85,7 +87,8 @@ def filtered_pool(video: Path, total: int, filters, want_csv: bool) -> np.ndarra
     ok = np.ones(len(df), bool)
     for field, (lo, hi) in filters.items():
         if field not in df.columns:
-            print(f"warning: field '{field}' absent from {video.name}'s log; criterion skipped")
+            msg = f"field '{field}' absent from {video.name}'s log; criterion skipped"
+            logger.warning(msg) if logger else print(f"warning: {msg}")
             continue
         import pandas as pd
 
@@ -100,7 +103,7 @@ def filtered_pool(video: Path, total: int, filters, want_csv: bool) -> np.ndarra
     return np.unique(frames[(frames >= 0) & (frames < total)].astype(int))
 
 
-def video_pool(video: Path, args) -> np.ndarray | None:
+def video_pool(video: Path, args, logger=None) -> np.ndarray | None:
     """Eligible frame indices for one video after skip windows + metadata
     filters; None excludes the video (no usable companion log)."""
     total = probe_video(video).frame_count
@@ -110,7 +113,8 @@ def video_pool(video: Path, args) -> np.ndarray | None:
     filters = dict(args.filters)
     if not filters:
         return np.arange(lo, hi)
-    pool = filtered_pool(video, total, filters, want_csv=bool(args.csv_filter))
+    pool = filtered_pool(video, total, filters, want_csv=bool(args.csv_filter),
+                         logger=logger)
     if pool is None:
         return None
     return pool[(pool >= lo) & (pool < hi)]
@@ -148,7 +152,8 @@ def plan_balanced(pools: dict[Path, np.ndarray], n: int, rng) -> dict[Path, np.n
     return out
 
 
-def extract(video: Path, frames: np.ndarray, out: Path, root: Path, args) -> int:
+def extract(video: Path, frames: np.ndarray, out: Path, root: Path, args,
+            logger) -> int:
     """Decode the selected frames (single forward pass) and save images."""
     rel = video.relative_to(root).with_suffix("") if root in video.parents else Path(video.stem)
     safe = str(rel).replace("/", "_").replace(".", "_")
@@ -157,7 +162,7 @@ def extract(video: Path, frames: np.ndarray, out: Path, root: Path, args) -> int
     for idx in sorted(wanted):
         name = f"frame_{safe}_{idx:06d}.{args.output_format}"
         if args.dry_run:
-            print(f"[dry-run] {name}  (frame {idx} of {video.name})")
+            logger.info(f"[dry-run] {name}  (frame {idx} of {video.name})")
             saved += 1
     if args.dry_run:
         return saved
@@ -194,8 +199,12 @@ def main() -> int:
                        help="Companion-CSV criterion (same syntax)")
     parser.add_argument("--output-format", "-of", choices=("png", "jpg", "jpeg"),
                         default="png")
-    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--seed", "-s", type=int, default=42)
     parser.add_argument("--dry-run", "-dr", action="store_true")
+    parser.add_argument("--log-path", "-lp", type=Path, default=None,
+                        help="Log file or directory (default: the platform log dir)")
+    parser.add_argument("--quiet", "-q", action="store_true",
+                        help="Console shows NOTICE-and-up only (file log keeps INFO)")
     # convenience sugar (kept from earlier revisions) — folds into --srt-filter
     parser.add_argument("--min-alt", type=float, default=None,
                         help="Shorthand for --srt-filter rel_alt:MIN:")
@@ -205,6 +214,20 @@ def main() -> int:
                         metavar=("LAT_MIN", "LON_MIN", "LAT_MAX", "LON_MAX"),
                         help="Shorthand for latitude/longitude box criteria")
     args = parser.parse_args()
+
+    # reference logging surface (reference tools/sample_frames.py --log-path /
+    # --quiet): NOTICE-level console under -q, platform-dir file log otherwise
+    logger = setup_logger(Path(__file__).stem, verbose=False,
+                          log_path=args.log_path, dry_run=args.dry_run)
+    if args.quiet:
+        import logging
+
+        from geotrax_tpu.utils.logging_utils import NOTICE_LEVEL
+
+        for h in logger.handlers:
+            if isinstance(h, logging.StreamHandler) and not isinstance(
+                    h, logging.FileHandler):
+                h.setLevel(NOTICE_LEVEL)
 
     args.filters = parse_filters(args.srt_filter or args.csv_filter)
     if args.min_alt is not None or args.max_alt is not None:
@@ -222,22 +245,22 @@ def main() -> int:
                         if p.suffix.lower() in VIDEO_FORMATS and kw in p.stem.lower())
         root = args.input
     if not videos:
-        print(f"no video files{f' matching *{args.name_filter}*' if args.name_filter else ''} "
-              f"under {args.input}")
+        logger.error(f"no video files{f' matching *{args.name_filter}*' if args.name_filter else ''} "
+                     f"under {args.input}")
         return 1
 
     pools = {}
     for v in videos:
-        pool = video_pool(v, args)
+        pool = video_pool(v, args, logger)
         label = str(v.relative_to(root)) if root in v.parents else v.name
         if pool is None:
-            print(f"warning: no flight log for {label}; excluded while a metadata filter is active")
+            logger.warning(f"no flight log for {label}; excluded while a metadata filter is active")
         elif len(pool) == 0:
-            print(f"{label}: no frames pass the filters/skip windows")
+            logger.info(f"{label}: no frames pass the filters/skip windows")
         else:
             pools[v] = pool
     if not pools:
-        print("no eligible frames in any video")
+        logger.error("no eligible frames in any video")
         return 1
 
     rng = np.random.default_rng(args.seed)
@@ -250,10 +273,10 @@ def main() -> int:
 
     if not args.dry_run:
         args.out.mkdir(parents=True, exist_ok=True)
-    total = sum(extract(v, f, args.out, root, args) for v, f in plan.items())
+    total = sum(extract(v, f, args.out, root, args, logger) for v, f in plan.items())
     mode = "stride" if args.stride else "balanced" if args.balanced else "global"
-    print(f"Sampled {total} frame(s) ({mode}) from {len(plan)}/{len(videos)} "
-          f"video(s) -> {args.out}")
+    logger.notice(f"Sampled {total} frame(s) ({mode}) from {len(plan)}/{len(videos)} "
+                  f"video(s) -> {args.out}")
     return 0
 
 
