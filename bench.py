@@ -151,10 +151,21 @@ def build(stabilize: bool):
     tracker_cfg, tracker_state, tracker_step, reid_params = (
         make_extract_tracker(config, logger)
     )
-    return make_fused_extractor(
+    fx = make_fused_extractor(
         config, detector, tracker_cfg, tracker_state, tracker_step,
         stabilize, SRC_H, SRC_W, reid_params=reid_params,
     )
+    # register in the extract stage's process-level cache: the e2e CLI pass
+    # below then reuses THIS traced extractor (reset() per video) instead of
+    # re-tracing the fused 4K program — the warm e2e number measures decode +
+    # compute, not jax re-trace time
+    from geotrax_tpu.pipeline import _extract_impl as _ei
+
+    _ei._EXTRACT_CACHE[_ei._extract_cache_key(config, stabilize)] = (
+        detector, tracker_cfg, tracker_state, tracker_step, reid_params,
+        {(SRC_H, SRC_W): fx},
+    )
+    return fx
 
 
 def _fetch(o) -> float:

@@ -69,6 +69,38 @@ def _transform_boxes(h_matrix: np.ndarray, boxes_xywh: np.ndarray) -> np.ndarray
 # 3.2 ms/frame fwd); 64 exhausts v5e HBM at 4K.
 FUSED_CHUNK = 32
 
+# Process-level reuse of the loaded detector + traced fused extractor across
+# extract calls (batch over a directory tree, bench warm passes). Re-tracing
+# the fused 4K program costs tens of seconds per video even on a persistent
+# compile-cache HIT, and reloading weights re-uploads ~45 MB per video; with
+# the cache the 2nd..Nth same-config videos start in milliseconds
+# (FusedExtractor.reset() restarts all per-video state). Keyed on the model
+# file identity (path+mtime+size), the full detection/stabilo/tracker config,
+# and — for the per-shape extractor map — the source resolution. Only real
+# Detector instances are cached (tests monkeypatch load_detector with mocks
+# that must not leak across tests).
+_EXTRACT_CACHE: dict = {}
+_EXTRACT_CACHE_MAX = 4
+
+
+def _extract_cache_key(config: dict, stabilize_on: bool) -> str:
+    import json
+
+    det_cfg = dict(config["ultralytics"])
+    model = str(det_cfg.get("model", ""))
+    try:
+        st = Path(model).stat()
+        mstamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        mstamp = None
+    main = config["main"]
+    return json.dumps({
+        "model": model, "mstamp": mstamp, "det": det_cfg,
+        "stab": config.get("stabilo") if stabilize_on else None,
+        "tracker": [main["tracker_active"], main["tracker_params"]],
+        "chunk": FUSED_CHUNK,
+    }, sort_keys=True, default=str)
+
 
 def make_extract_tracker(config: dict, logger):
     """Tracker construction exactly as the extract stage performs it —
@@ -126,10 +158,26 @@ def track_video(args, config: dict, logger) -> tuple:
     extraction = main["extraction"]
     stabilize_on = bool(extraction.get("stabilize", True))
 
-    detector = load_detector(config, logger)
-    tracker_cfg, tracker_state, tracker_step, reid_params = (
-        make_extract_tracker(config, logger)
-    )
+    cache_key = _extract_cache_key(config, stabilize_on)
+    cached = _EXTRACT_CACHE.get(cache_key)
+    if cached is not None:
+        detector, tracker_cfg, tracker_state, tracker_step, reid_params, \
+            fx_by_shape = cached
+    else:
+        detector = load_detector(config, logger)
+        tracker_cfg, tracker_state, tracker_step, reid_params = (
+            make_extract_tracker(config, logger)
+        )
+        fx_by_shape = {}
+        from geotrax_tpu.models.detector import Detector
+
+        if type(detector) is Detector:
+            while len(_EXTRACT_CACHE) >= _EXTRACT_CACHE_MAX:
+                _EXTRACT_CACHE.pop(next(iter(_EXTRACT_CACHE)))
+            _EXTRACT_CACHE[cache_key] = (
+                detector, tracker_cfg, tracker_state, tracker_step,
+                reid_params, fx_by_shape,
+            )
 
     cut_left = int(args.cut_frame_left or 0)
     cut_right = args.cut_frame_right
@@ -150,6 +198,7 @@ def track_video(args, config: dict, logger) -> tuple:
         return _track_video_fused(
             args, config, logger, reader, detector, tracker_cfg, tracker_state,
             tracker_step, stabilize_on, cut_left, reid_params=reid_params,
+            fx_by_shape=fx_by_shape,
         )
 
     rows = []
@@ -306,7 +355,8 @@ def track_video(args, config: dict, logger) -> tuple:
 
 def _track_video_fused(args, config, logger, reader, detector, tracker_cfg,
                        tracker_state, tracker_step, stabilize_on: bool,
-                       cut_left: int, reid_params=None) -> tuple:
+                       cut_left: int, reid_params=None,
+                       fx_by_shape=None) -> tuple:
     """Host loop for the fused device pipeline: buffer a chunk of frames,
     one device dispatch, one fetch, emit rows (formats identical to the
     sequential path)."""
@@ -315,10 +365,16 @@ def _track_video_fused(args, config, logger, reader, detector, tracker_cfg,
     main = config["main"]
     chunk = FUSED_CHUNK
     src_w, src_h = reader.info.width, reader.info.height
-    fx = make_fused_extractor(
-        config, detector, tracker_cfg, tracker_state, tracker_step,
-        stabilize_on, src_h, src_w, reid_params=reid_params,
-    )
+    fx = None if fx_by_shape is None else fx_by_shape.get((src_h, src_w))
+    if fx is not None:
+        fx.reset()   # same program, fresh per-video state (trace reuse)
+    else:
+        fx = make_fused_extractor(
+            config, detector, tracker_cfg, tracker_state, tracker_step,
+            stabilize_on, src_h, src_w, reid_params=reid_params,
+        )
+        if fx_by_shape is not None:
+            fx_by_shape[(src_h, src_w)] = fx
     min_match_warning = 4
 
     class_names = main.get("class_names") or {}

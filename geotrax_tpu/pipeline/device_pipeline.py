@@ -244,6 +244,11 @@ class FusedExtractor:
         self._h_prev = jnp.eye(3)
         self._ref: Optional[RefFeatures] = None
         self._gmc_carry = None   # standalone-GMC previous-frame features
+        # pristine copies for reset(): reusing one FusedExtractor across
+        # videos keeps the traced+compiled program (minutes to build on a
+        # 1-vCPU host) while restarting all per-video state
+        self._state0 = tracker_state
+        self._seed0 = rng_seed
         # ONE fused program for every chunk: the first-chunk behavior
         # (extract reference-frame features, pin h[0] = identity) is selected
         # at runtime by a traced `first` flag through lax.cond, so a video —
@@ -460,6 +465,19 @@ class FusedExtractor:
         return state, chunk_out, ref, gmc_carry, h[-1]
 
     # ------------------------------------------------------------ host API
+    def reset(self, rng_seed: Optional[int] = None) -> None:
+        """Restart per-video state (tracker slots, reference features, GMC
+        carry, h_prev, RNG base) without dropping the compiled program. Lets
+        `batch` runs and repeated extract calls reuse ONE traced extractor
+        across videos — re-tracing the fused 4K program costs tens of
+        seconds even on a compile-cache hit."""
+        self.state = self._state0
+        self._h_prev = jnp.eye(3)
+        self._ref = None
+        self._gmc_carry = None
+        self._key = jax.random.PRNGKey(
+            self._seed0 if rng_seed is None else rng_seed)
+
     def process_chunk(self, frames_u8, fids, n_valid: int) -> ChunkOutput:
         """frames (C,H,W,3) uint8 (np or device), fids (C,) internal frame ids
         (1-based), n_valid <= C real frames. Returns host-fetchable outputs."""
