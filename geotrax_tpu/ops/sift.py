@@ -387,30 +387,37 @@ def match_l2(desc_a, valid_a, desc_b, valid_b, ratio: float = 0.55,
     valid_ap = jnp.pad(valid_a, (0, pad_a))
     n_blocks = (ka + pad_a) // block
 
-    nb2 = jnp.sum(desc_b * desc_b, axis=-1)
+    # validity folded into the NORM VECTORS, not a (block,Kb) where-mask:
+    # an invalid row/col gets +big on its squared norm, which pushes every
+    # one of its distances past the sentinel threshold in the same fused
+    # epilogue that forms d2 — one (Ka,)+(Kb,) add instead of a full
+    # boolean matrix broadcast pass over the distance tile.
+    nb2 = jnp.sum(desc_b * desc_b, axis=-1) + jnp.where(valid_b, 0.0, big)
 
     def a_block(carry, i):
-        b_best, b_row = carry  # (Kb,) running best dist + owning A row
+        b_best, b_row = carry  # (Kb,) running best dist² + owning A row
         a = jax.lax.dynamic_slice(desc_ap, (i * block, 0), (block, desc_a.shape[1]))
         av = jax.lax.dynamic_slice(valid_ap, (i * block,), (block,))
         # f32 DEFAULT matmul precision: descriptors are unit-norm, so the
         # single-pass bf16 dot's ~0.4% error is far inside the Lowe-ratio
         # margin — HIGHEST would spend 6 MXU passes on the dominant matmul.
         dots = a @ desc_b.T
-        na2 = jnp.sum(a * a, axis=-1)
+        na2 = jnp.sum(a * a, axis=-1) + jnp.where(av, 0.0, big)
+        # SQUARED distances throughout: sqrt is monotonic, so the argmins,
+        # the mutual cross-check and the Lowe test (compared against
+        # ratio²·second²) are decided identically — and the (block,Kb) sqrt
+        # materialization pass disappears.
         d2 = jnp.maximum(na2[:, None] + nb2[None, :] - 2.0 * dots, 0.0)
-        d = jnp.sqrt(d2)
-        d = jnp.where(av[:, None] & valid_b[None, :], d, big)
 
         # top-2 smallest via min/argmin passes: approx_max_k(k=2) here runs
         # 13x slower under the chunk vmap (measured 0.60 -> 7.8 ms/frame)
-        best_idx = jnp.argmin(d, axis=1).astype(jnp.int32)
-        best = jnp.min(d, axis=1)
+        best_idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        best = jnp.min(d2, axis=1)
         cols = jnp.arange(kb, dtype=jnp.int32)
-        second = jnp.min(jnp.where(cols[None, :] == best_idx[:, None], big, d), axis=1)
+        second = jnp.min(jnp.where(cols[None, :] == best_idx[:, None], big, d2), axis=1)
 
-        col_best = jnp.min(d, axis=0)
-        col_row = jnp.argmin(d, axis=0).astype(jnp.int32) + i * block
+        col_best = jnp.min(d2, axis=0)
+        col_row = jnp.argmin(d2, axis=0).astype(jnp.int32) + i * block
         better = col_best < b_best
         b_best = jnp.where(better, col_best, b_best)
         b_row = jnp.where(better, col_row, b_row)
@@ -425,7 +432,7 @@ def match_l2(desc_a, valid_a, desc_b, valid_b, ratio: float = 0.55,
     second = second.reshape(-1)[:ka]
     best_idx = best_idx.reshape(-1)[:ka]
 
-    ratio_ok = best < ratio * second
+    ratio_ok = best < (ratio * ratio) * second
     mutual = b_row[best_idx] == jnp.arange(ka, dtype=jnp.int32)
     valid = valid_a & ratio_ok & mutual & (best < big / 2)
     return Matches(idx_a=jnp.arange(ka), idx_b=best_idx, valid=valid)
