@@ -57,6 +57,8 @@ SRC_H, SRC_W = 2160, 3840
 DEADLINE_S = float(os.environ.get("GTX_BENCH_DEADLINE_S", "780"))
 T0 = time.monotonic()
 
+CACHE_DIR = "/tmp/geotrax_jax_cache"
+
 if "--worker" in sys.argv:
     import jax
     import jax.numpy as jnp
@@ -65,8 +67,36 @@ if "--worker" in sys.argv:
     # persistent compilation cache: the fused 4K program costs minutes to
     # build; repeated driver runs (and the e2e stage below) reuse it across
     # processes
-    jax.config.update("jax_compilation_cache_dir", "/tmp/geotrax_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+def _seed_compile_cache() -> None:
+    """Copy the committed AOT cache entries (aot_cache/, produced by a prior
+    real-chip run of this exact bench) into the persistent compilation cache
+    BEFORE the first dispatch. The fused 4K program's remote XLA compile has
+    been observed anywhere from 126 s to 1783 s cold on this stack — the
+    latter blows any sane bench deadline — while the cache key (serialized
+    HLO + jaxlib version + target) is deterministic across machines, so a
+    fresh driver host deserializes the committed entry in seconds instead.
+    A key mismatch (new jaxlib, changed program) just misses and recompiles:
+    correctness never depends on the seed."""
+    import shutil
+    from pathlib import Path
+
+    src = Path(__file__).parent / "aot_cache"
+    if not src.is_dir():
+        return
+    dst = Path(CACHE_DIR)
+    dst.mkdir(parents=True, exist_ok=True)
+    n = 0
+    for f in src.glob("*-cache"):
+        target = dst / f.name
+        if not target.exists():
+            shutil.copyfile(f, target)
+            n += 1
+    if n:
+        print(f"seeded {n} compile-cache entries from aot_cache/", file=sys.stderr)
 
 
 def _bench_model_npz():
@@ -178,10 +208,39 @@ def _fetch(o) -> float:
     return float(jnp.sum(o.h) + jnp.sum(o.box_xywh))
 
 
-def make_frame_buffers(base_frames, n_buffers: int = 4):
+def device_scene(seed: int = 42) -> jnp.ndarray:
+    """Build the structured 4K scene (8-px blocks + ~200 vehicle-scale
+    rectangles, same distribution as the host-side _bench_scene) ON DEVICE
+    with one jitted program. The host-generated scene is a 796 MB chunk
+    upload; at the ~1 MB/s the axon stdio relay has been observed to sink
+    to, shipping it costs ~13 minutes of the bench deadline before a single
+    measurement — generating it device-side uploads nothing but a PRNG key."""
+
+    def mk(key):
+        kb, ky, kx, kc = jax.random.split(key, 4)
+        block = jax.random.randint(
+            kb, (SRC_H // 8, SRC_W // 8, 3), 30, 220, jnp.int32)
+        scene = jnp.repeat(jnp.repeat(block, 8, axis=0), 8, axis=1)
+        ys = jax.random.randint(ky, (200,), 0, SRC_H - 60)
+        xs = jax.random.randint(kx, (200,), 0, SRC_W - 120)
+        cols = jax.random.randint(kc, (200, 3), 0, 255, jnp.int32)
+
+        def body(i, s):
+            patch = jnp.broadcast_to(cols[i][None, None, :], (50, 100, 3))
+            return jax.lax.dynamic_update_slice(s, patch, (ys[i], xs[i], 0))
+
+        scene = jax.lax.fori_loop(0, 200, body, scene)
+        return scene.astype(jnp.uint8)
+
+    out = jax.jit(mk)(jax.random.PRNGKey(seed))
+    jax.block_until_ready(out)
+    return out
+
+
+def make_frame_buffers(scene_u8, n_buffers: int = 4):
     """Pre-stage ``n_buffers`` distinct device-resident chunk buffers (the
-    base scene + per-chunk brightness jitter), built by ONE jitted program
-    each, BEFORE any timing starts.
+    base scene broadcast over the chunk + per-frame brightness jitter),
+    built by ONE jitted program each, BEFORE any timing starts.
 
     Round-4 postmortem (the 2x throughput 'regression'): the old harness
     computed ``base + jitter_fn(key)`` inside the timed loop. That ``+`` is
@@ -194,17 +253,18 @@ def make_frame_buffers(base_frames, n_buffers: int = 4):
     the measurement entirely; cycling 4 distinct buffers keeps the frames
     non-identical across chunks (real feature/matching occupancy) at 4 x
     796 MB = 3.2 GB HBM, well inside a v5e's 16 GB."""
-    # base_frames MUST be a jit argument, not a closure: closed-over arrays
+    # scene_u8 MUST be a jit argument, not a closure: closed-over arrays
     # inline into the HLO as constants, and on the axon remote-compile
-    # transport a 796 MB constant overflows the compile request (HTTP 413).
+    # transport a multi-hundred-MB constant overflows the compile request
+    # (HTTP 413).
     mk = jax.jit(
-        lambda b, k: jnp.clip(
-            b.astype(jnp.int16)
+        lambda s, k: jnp.clip(
+            s[None].astype(jnp.int16)
             + jax.random.randint(k, (CHUNK, 1, 1, 1), 0, 8, jnp.int16),
             0, 255,
         ).astype(jnp.uint8)
     )
-    bufs = [mk(base_frames, jax.random.PRNGKey(i)) for i in range(n_buffers)]
+    bufs = [mk(scene_u8, jax.random.PRNGKey(i)) for i in range(n_buffers)]
     for b in bufs:
         jax.block_until_ready(b)
     return bufs
@@ -250,7 +310,8 @@ def _bench_scene(rng):
     return scene
 
 
-def bench_e2e(n_frames: int = 48, do_georef: bool = True) -> dict:
+def bench_e2e(n_frames: int = 48, do_georef: bool = True,
+              single_pass: bool = False) -> dict:
     """Encode a 4K clip, then run the real `extract` and `georeference` CLI
     stages on it (decode -> detect -> track -> stabilize -> georef).
     Returns stage wall times, e2e fps, and the registration px-RMSE.
@@ -340,6 +401,16 @@ def bench_e2e(n_frames: int = 48, do_georef: bool = True) -> dict:
         segmentation_folder=seg_dir,
     )
 
+    # host->device transfer rate probe: the extract stage ships every raw 4K
+    # frame to the device (n_frames x 24.9 MB); on the axon stdio relay this
+    # can be the e2e bottleneck (measured ~15 MB/s vs >10 GB/s on a real
+    # PCIe host), so report the rate alongside so the stage split is
+    # interpretable
+    probe = np.zeros((2, SRC_H, SRC_W, 3), np.uint8)
+    t0 = time.perf_counter()
+    jax.block_until_ready(jnp.asarray(probe))
+    upload_mbps = probe.nbytes / 2**20 / max(time.perf_counter() - t0, 1e-9)
+
     t0 = time.perf_counter()
     _extract_impl.run_extraction(args, logger)
     t_extract_cold = time.perf_counter() - t0
@@ -349,20 +420,26 @@ def bench_e2e(n_frames: int = 48, do_georef: bool = True) -> dict:
         _georeference_impl.run_georeferencing(geo_args, logger)
         t_georef_cold = time.perf_counter() - t0
 
-    # warm pass: same stages, compiles served from the in-process/persistent
-    # cache; overwrite the stage outputs so the accuracy checks below read
-    # the timed run's artifacts
-    shutil.rmtree(work / "results", ignore_errors=True)
-    (work / "U_bench.yaml").unlink(missing_ok=True)
-    t0 = time.perf_counter()
-    _extract_impl.run_extraction(args, logger)
-    t_extract = time.perf_counter() - t0
-    t_georef = 0.0
+    if single_pass:
+        # budget-constrained: report the first pass (includes residual
+        # trace/cache-load cost) rather than running the stages twice
+        t_extract, t_georef = t_extract_cold, t_georef_cold
+    else:
+        # warm pass: same stages, compiles served from the in-process/
+        # persistent cache; overwrite the stage outputs so the accuracy
+        # checks below read the timed run's artifacts
+        shutil.rmtree(work / "results", ignore_errors=True)
+        (work / "U_bench.yaml").unlink(missing_ok=True)
+        t0 = time.perf_counter()
+        _extract_impl.run_extraction(args, logger)
+        t_extract = time.perf_counter() - t0
+        t_georef = 0.0
+        if do_georef:
+            t0 = time.perf_counter()
+            _georeference_impl.run_georeferencing(geo_args, logger)
+            t_georef = time.perf_counter() - t0
     rmse = None
     if do_georef:
-        t0 = time.perf_counter()
-        _georeference_impl.run_georeferencing(geo_args, logger)
-        t_georef = time.perf_counter() - t0
 
         # ---- registration accuracy: recovered H vs the known crop translation
         h_est = np.loadtxt(work / "results" / "U_bench_geo_transf.txt",
@@ -393,6 +470,7 @@ def bench_e2e(n_frames: int = 48, do_georef: bool = True) -> dict:
     result = {
         "e2e_frames": n_frames,
         "e2e_fps": round(e2e_fps, 2),
+        "e2e_upload_mbps": round(upload_mbps, 1),
         "e2e_stage_s": {
             "encode": round(t_encode, 2),
             "decode_only": round(t_decode, 2),
@@ -423,13 +501,12 @@ def _remaining() -> float:
 def worker() -> None:
     """Staged measurement: headline first (printed the moment it exists),
     refinements and extras after, each stage gated on remaining budget."""
+    _seed_compile_cache()
     # structured scene (8-px blocks + vehicle-like bright rectangles) so the
     # feature/matching/tracker stages run at realistic occupancy instead of
-    # the trivial zero-match regime white noise produces
-    scene = _bench_scene(np.random.default_rng(42))
-    base = jnp.asarray(np.stack([scene] * CHUNK))
-    jax.block_until_ready(base)
-    bufs = make_frame_buffers(base)
+    # the trivial zero-match regime white noise produces — generated ON
+    # DEVICE (uploading the host scene is 796 MB through the stdio relay)
+    bufs = make_frame_buffers(device_scene())
 
     fx_stab = build(stabilize=True)
     t_compile = warmup(fx_stab, bufs)
@@ -466,9 +543,16 @@ def worker() -> None:
     # georef on a generous budget and fall back to an extract-only partial
     # rather than printing nothing.
     if _remaining() > 100:
-        do_georef = _remaining() > 330
+        # gate sizes from measured cache-served costs (2026-08-20 real-chip
+        # run): extract pass ~80-90 s (tunnel transfer-bound at ~15 MB/s),
+        # georeference ~55 s first pass in-process / ~2 s warm, encode+decode
+        # ~4 s. Two full passes with georef ~230 s; single-pass with georef
+        # ~150 s; single-pass extract-only ~95 s.
+        rem = _remaining()
+        do_georef = rem > 170
+        single_pass = rem < 300
         try:
-            e2e = bench_e2e(do_georef=do_georef)
+            e2e = bench_e2e(do_georef=do_georef, single_pass=single_pass)
             print(f"e2e decode->georef: {e2e}", file=sys.stderr)
         except Exception as exc:  # the headline metric must always survive
             e2e = {"e2e_error": f"{type(exc).__name__}: {exc}"}
