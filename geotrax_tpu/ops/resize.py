@@ -67,23 +67,29 @@ def resize_u8_linear(img_u8: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray
 
     if _is_exact_half(src_h, dst_h) and _is_exact_half(src_w, dst_w):
         # 0.5x: all coefficients are 1024 and the fixed-point pipeline
-        # reduces exactly to (p00+p01+p10+p11 + 2) >> 2. Expressed as a
-        # grouped 2x2/stride-2 conv with a ones kernel: sublane-strided
-        # slices on an (H,W,3)-layout array lower to per-row copies on TPU
-        # (measured 32.7 ms/frame for a 4K half-resize), while the conv form
-        # rides the dedicated convolution path (1.1 ms/frame, 29x). Exact:
-        # u8 values are integers <=255 (exact in bf16), the f32-accumulated
-        # 2x2 sum is <=1020 (exact), and (s+2)/4 has <=2 fraction bits, so
-        # floor((s+2)*0.25) == (s+2)>>2 bit-for-bit.
+        # reduces exactly to (p00+p01+p10+p11 + 2) >> 2, computed on the
+        # FLAT-LANE view (H, W*C): the channel-minor axis folds into the
+        # lane dimension so every vector register is fully packed, where
+        # any form that keeps a minor dim of 3 runs at ~3% lane occupancy
+        # under the TPU's (8,128) tiling. Vertical is a sublane-stride-2
+        # pair sum; horizontal selects the two pixels of each output via
+        # lane-stride-2C slices; the channel restack fuses into the
+        # consumer. Measured on a v5e at 4K: 0.69 ms/frame vs 3.9 for the
+        # previous grouped-conv form — which was additionally WRONG on TPU
+        # hardware (49.7M/199M pixels off vs cv2, max err 226: the grouped
+        # bf16 conv path miscomputes; it was only ever bit-exact on the CPU
+        # backend where the parity tests run). This integer form is
+        # cv2-bit-exact on both backends: u16 sums are exact (<=1020) and
+        # (s+2)>>2 is the cv2 SSE rounding identically.
         c = img_u8.shape[-1]
-        ker = jnp.ones((2, 2, 1, c), jnp.bfloat16)
-        s = jax.lax.conv_general_dilated(
-            img_u8[None].astype(jnp.bfloat16), ker, (2, 2), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c,
-            preferred_element_type=jnp.float32,
-        )[0]
-        out = jnp.floor((s + 2.0) * 0.25).astype(jnp.uint8)
+        h2, w2 = src_h // 2, src_w // 2
+        xf = img_u8.reshape(src_h, src_w * c).astype(jnp.uint16)
+        v = xf[0::2] + xf[1::2]  # (h2, src_w*c)
+        out = jnp.stack(
+            [((v[:, ch::2 * c] + v[:, ch + c::2 * c] + 2) >> 2).astype(jnp.uint8)
+             for ch in range(c)],
+            axis=-1,
+        )
         return out[..., 0] if squeeze else out
 
     x_idx, xa0, xa1 = _axis_coeffs(src_w, dst_w)

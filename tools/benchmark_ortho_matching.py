@@ -28,6 +28,82 @@ from _common import *  # noqa: F401,F403
 from geotrax_tpu.utils.registration import estimate_homography  # noqa: E402
 
 
+def _pprof_live_bytes(payload: bytes):
+    """Total live ``space`` bytes from a pprof memory profile, decoded with a
+    minimal varint walker (no protobuf dependency). Returns None when the
+    payload has no samples — the runtime exposed an empty profile."""
+    import gzip
+
+    if payload[:2] == b"\x1f\x8b":
+        payload = gzip.decompress(payload)
+
+    def varint(buf, i):
+        val = shift = 0
+        while True:
+            b = buf[i]
+            i += 1
+            val |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return val, i
+            shift += 7
+
+    def fields(buf):
+        i = 0
+        while i < len(buf):
+            key, i = varint(buf, i)
+            tag, wire = key >> 3, key & 7
+            if wire == 0:
+                val, i = varint(buf, i)
+            elif wire == 2:
+                ln, i = varint(buf, i)
+                val = buf[i:i + ln]
+                i += ln
+            elif wire == 5:
+                val = buf[i:i + 4]
+                i += 4
+            elif wire == 1:
+                val = buf[i:i + 8]
+                i += 8
+            else:
+                return
+            yield tag, val
+
+    strings: list[bytes] = []
+    sample_types: list[int] = []  # string-table indices of ValueType.type
+    samples: list[list[int]] = []
+    for tag, val in fields(payload):
+        if tag == 1:  # ValueType sample_type
+            t = 0
+            for t2, v2 in fields(val):
+                if t2 == 1:
+                    t = v2
+            sample_types.append(t)
+        elif tag == 2:  # Sample
+            vals = []
+            for t2, v2 in fields(val):
+                if t2 == 2:
+                    if isinstance(v2, bytes):  # packed repeated int64
+                        j = 0
+                        while j < len(v2):
+                            x, j = varint(v2, j)
+                            vals.append(x)
+                    else:
+                        vals.append(v2)
+            samples.append(vals)
+        elif tag == 6:  # string table
+            strings.append(val)
+    if not samples:
+        return None
+    try:
+        idx = next(
+            k for k, si in enumerate(sample_types)
+            if si < len(strings) and strings[si] == b"space"
+        )
+    except StopIteration:
+        idx = len(sample_types) - 1 if sample_types else 0
+    return sum(s[idx] for s in samples if len(s) > idx)
+
+
 def corner_error(h_est, h_true, w, h):
     corners = np.array([[0, 0, 1], [w, 0, 1], [w, h, 1], [0, h, 1]], float)
 
@@ -130,6 +206,18 @@ def main() -> int:
                     hbm = f"  peak_hbm={peak / 2**30:.2f} GiB"
             except Exception:
                 pass
+            if not hbm:
+                # second attempt (VERDICT r4 #10): the profiler's pprof dump
+                # carries live-bytes-by-allocation even on runtimes whose
+                # PJRT client exposes no memory_stats
+                try:
+                    import jax.profiler
+
+                    live = _pprof_live_bytes(jax.profiler.device_memory_profile())
+                    if live is not None:
+                        hbm = f"  live_hbm={live / 2**30:.2f} GiB (post-solve)"
+                except Exception as exc:
+                    hbm = f"  hbm_unavailable({type(exc).__name__})"
             print(f"t{trial}: {size}px/{args.max_features} feats  "
                   f"wall={wall:.1f}s{hbm}", flush=True)
     elif args.synthetic_cross_domain:
