@@ -164,8 +164,10 @@ def _level_features(level_img: jnp.ndarray, budget: int, cell: int = 4,
     score = jnp.where(score >= neighborhood, score, 0.0)
     from geotrax_tpu.ops.topk import exact_top_k
 
-    # exact PartialReduce beats the full sort on multi-megapixel levels
-    top, flat = exact_top_k(score.reshape(-1), budget)
+    # exact PartialReduce beats the full sort on multi-megapixel levels;
+    # k capped on very large inputs (see TOPK_CAP)
+    k_eff = min(budget, TOPK_CAP) if score.size > TOPK_CAP_MIN_INPUT else budget
+    top, flat = exact_top_k(score.reshape(-1), k_eff)
     kx = (flat % w).astype(jnp.float32)
     ky = (flat // w).astype(jnp.float32)
     valid = top > 1e-6
@@ -219,6 +221,16 @@ def _level_features(level_img: jnp.ndarray, budget: int, cell: int = 4,
 # would need >20 GB monolithically — over a single chip's HBM.
 BAND_PIXEL_LIMIT = 32_000_000
 BAND_OVERLAP = 32  # blur/descriptor halo (DoG r8 + orientation r7 + grid 7)
+# Largest ApproxTopK k validated on >16M-element inputs on this hardware:
+# the round-5 budget hedge pushed per-level selections to 27.6k-39k on
+# 28M-element score maps and the TPU worker reproducibly crashed with a
+# kernel fault (15000^2/250k regime, twice); k<=23.5k on 28.6M ran clean
+# across round 4's full harness. Selections above the cap keep the
+# strongest-score semantics, just slightly under the requested share.
+# (k=188k on 8.3M elements is green — the envelope is input-size-dependent,
+# hence the conditional in _level_features.)
+TOPK_CAP = 24_000
+TOPK_CAP_MIN_INPUT = 16_000_000
 
 
 def _level_features_banded(level_img: jnp.ndarray, budget: int,
@@ -243,7 +255,12 @@ def _level_features_banded(level_img: jnp.ndarray, budget: int,
     n_bands = int(np.ceil(h * w / BAND_PIXEL_LIMIT))
     core = int(np.ceil(h / n_bands))
     band_h = min(core + 2 * BAND_OVERLAP, h)
-    band_budget = int(np.ceil(2 * budget / n_bands))
+    # 2x contrast oversample, capped at TOPK_CAP: the oversample must not
+    # push the per-band ApproxTopK past the largest k validated on this
+    # hardware — k=39k selections at the 15000^2/250k regime reproducibly
+    # CRASHED the TPU worker ("kernel fault"), while <=24k (the round-4
+    # regime) ran clean; see docs/GEOREF_ACCURACY.md
+    band_budget = int(min(np.ceil(2 * budget / n_bands), TOPK_CAP))
 
     starts, bounds = [], []
     for i in range(n_bands):
